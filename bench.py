@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""Benchmark: k-mers scored per second on the dense TPU enumeration path.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": R}
+
+Metric definition follows the reference's stage-1 instrumentation
+(``db_builder.cpp:230-237``: elapsed time + explored-tuple counter): tuples =
+surviving (window, k-mer) pairs across all ghost matrices; rate = tuples /
+stage-1 wall time. The baseline is the locally measured single-core rate of
+``native/baseline_dcla.cpp`` (a clean-room implementation of the reference's
+DCLA algorithm — the reference binary itself cannot be built here, see
+BASELINE.md) on the same inputs.
+
+Workload: DNA k=8, omega=1.5, 256 branches (512 ghost matrices), 300 sites —
+the scale of BASELINE.json config 1/2.
+"""
+
+import json
+import os
+import struct
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+K = 8
+SIGMA = 4
+OMEGA = 1.5
+NUM_GROUPS = 256
+S = 300
+BASELINE_GHOSTS = 8   # measure single-core *rate* on a subset, it is constant
+CACHE = os.path.join(REPO, "benchmarks", "baseline_cache.json")
+
+
+def make_workload(seed=7):
+    rng = np.random.default_rng(seed)
+    G = 2 * NUM_GROUPS
+    p = rng.dirichlet(np.ones(SIGMA) * 0.4, size=(G, S)).astype(np.float32)
+    P = np.log10(np.maximum(p, 1e-30)).astype(np.float32)
+    return P
+
+
+def run_tpu(P_all):
+    from ipk_tpu.core import dense
+    import jax
+
+    prefix_all = dense.best_score_prefix(P_all)
+    eps = np.float32(np.log10((OMEGA / SIGMA) ** K))
+    fn = lambda P, pre: dense.accumulate_ghosts(
+        P, pre, eps, k=K, sigma=SIGMA, block_w=16, with_count=True)
+    # warmup/compile
+    A, counts = fn(P_all[:2], prefix_all[:2])
+    jax.block_until_ready((A, counts))
+
+    P_dev = jax.device_put(P_all)
+    pre_dev = jax.device_put(prefix_all)
+    jax.block_until_ready((P_dev, pre_dev))
+    t0 = time.monotonic()
+    A, counts = fn(P_dev, pre_dev)
+    jax.block_until_ready((A, counts))
+    elapsed = time.monotonic() - t0
+    tuples = int(np.asarray(counts).astype(np.int64).sum())
+    return tuples, elapsed
+
+
+def run_baseline(P_all):
+    """Single-core tuples/sec of the clean-room C++ DCLA on a ghost subset."""
+    digest = f"{K}-{SIGMA}-{OMEGA}-{NUM_GROUPS}-{S}-{BASELINE_GHOSTS}-v1"
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            cached = json.load(f)
+        if cached.get("digest") == digest:
+            return cached["rate"]
+
+    binary = os.path.join(REPO, "native", "baseline_dcla")
+    src = os.path.join(REPO, "native", "baseline_dcla.cpp")
+    if (not os.path.exists(binary)
+            or os.path.getmtime(binary) < os.path.getmtime(src)):
+        subprocess.run(["g++", "-O3", "-march=native", "-o", binary, src],
+                       check=True)
+
+    sub = P_all[:BASELINE_GHOSTS]
+    eps = np.float32(np.log10((OMEGA / SIGMA) ** K))
+    header = struct.pack("<qqqqf", sub.shape[0], S, SIGMA, K, eps)
+    result = subprocess.run([binary], input=header + sub.tobytes(),
+                            capture_output=True, check=True)
+    out = json.loads(result.stdout)
+    rate = out["tuples"] / (out["ms"] / 1e3)
+    os.makedirs(os.path.dirname(CACHE), exist_ok=True)
+    with open(CACHE, "w") as f:
+        json.dump({"digest": digest, "rate": rate, "raw": out}, f)
+    return rate
+
+
+def main():
+    P_all = make_workload()
+    baseline_rate = run_baseline(P_all)
+    tuples, elapsed = run_tpu(P_all)
+    rate = tuples / elapsed
+    print(json.dumps({
+        "metric": "kmers_scored_per_sec_per_chip",
+        "value": round(rate, 1),
+        "unit": "tuples/s",
+        "vs_baseline": round(rate / baseline_rate, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,153 @@
+"""Command-line interface.
+
+Mirrors the reference wrapper's surface (``ipk.py:70-202``: same option names,
+defaults, and validation) and folds the verification tools in as subcommands:
+
+* ``build`` — compute a phylo-k-mer database (the one true entry point,
+  SURVEY.md §3.1).
+* ``diff``  — compare two databases; unlike the reference ``ipkdiff`` which
+  always exits 0 (``tools/src/diff.cpp:115-116``), exits non-zero on mismatch.
+* ``dump``  — plain-text dump in the reference's format: k-mer line, then
+  per-entry "\\t<10^score>\\t<preorder id>" (``tools/src/dump.cpp:18-33``).
+
+Unlike the reference there is no triple-binary dispatch: the alphabet is a
+runtime parameter (``--states``), positions a flag.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import click
+
+from .ar.bridge import NUCL_MODELS, AMINO_MODELS
+
+ALL_MODELS = NUCL_MODELS + AMINO_MODELS
+KMER_FILTERS = ["mif0", "random"]
+GHOST_STRATEGIES = ["inner-only", "outer-only", "both"]
+
+
+def validate_filter(ctx, param, value):
+    value = value.lower()
+    if value not in KMER_FILTERS:
+        raise click.BadParameter("Filter must be one of: " + ", ".join(KMER_FILTERS))
+    return value
+
+
+def validate_ghosts(ctx, param, value):
+    value = value.lower()
+    if value not in GHOST_STRATEGIES:
+        raise click.BadParameter("Strategy must be one of: " + ", ".join(GHOST_STRATEGIES))
+    return value
+
+
+def validate_model(ctx, param, value):
+    if ("ar_config" in ctx.params) or (value and value in ALL_MODELS):
+        return value
+    raise click.BadParameter(
+        f"Please define a valid evolutionary model either via --model or in a "
+        f"config file via --ar-config. Valid values: {ALL_MODELS}")
+
+
+def parse_config(ar_config: str) -> str:
+    """--ar-config JSON → raw --ar-parameters string (``ipk.py:241-250``)."""
+    with open(ar_config) as f:
+        content = json.load(f)
+    if "arguments" not in content:
+        raise RuntimeError(f"Error parsing {ar_config}: 'arguments' not found")
+    return " ".join(f"--{k} {v}" for k, v in content["arguments"].items())
+
+
+@click.group()
+@click.version_option("0.1.0", prog_name="ipk-tpu")
+def ipk():
+    """IPK-TPU: TPU-native phylo-k-mer database construction."""
+
+
+@ipk.command()
+@click.option("-b", "--ar", type=click.Path(exists=True), required=False,
+              help="Path to the ancestral reconstruction binary (RAxML-ng).")
+@click.option("-r", "--refalign", type=click.Path(exists=True), required=True,
+              help="Reference multiple sequence alignment in FASTA format.")
+@click.option("-t", "--reftree", type=click.Path(exists=True), required=True,
+              help="Reference phylogenetic tree in Newick format.")
+@click.option("-s", "--states", type=click.Choice(["nucl", "amino"]),
+              default="nucl", show_default=True)
+@click.option("-v", "--verbosity", type=int, default=1, show_default=True)
+@click.option("-w", "--workdir", required=True,
+              type=click.Path(dir_okay=True, file_okay=False))
+@click.option("-a", "--alpha", type=float, default=1.0, show_default=True)
+@click.option("-c", "--categories", type=int, default=4, show_default=True)
+@click.option("-k", "--k", type=int, default=8, show_default=True)
+@click.option("-m", "--model", type=click.UNPROCESSED, callback=validate_model,
+              required=False)
+@click.option("--convert-uo", is_flag=True,
+              help="Convert U, O amino acids to C, L.")
+@click.option("--no-reduction", is_flag=True)
+@click.option("--reduction-ratio", type=float, default=0.99, show_default=True)
+@click.option("--omega", type=float, default=1.5, show_default=True)
+@click.option("--filter", callback=validate_filter, default="mif0",
+              show_default=True)
+@click.option("-u", "--mu", type=float, default=1.0, show_default=True)
+@click.option("--ghosts", callback=validate_ghosts, default="both",
+              show_default=True)
+@click.option("--use-unrooted", is_flag=True)
+@click.option("--merge-branches", is_flag=True, default=False)
+@click.option("--ar-dir", type=click.Path(exists=True, dir_okay=True,
+                                          file_okay=False))
+@click.option("--ar-only", is_flag=True, default=False, show_default=True)
+@click.option("--ar-config", required=False, type=click.Path(exists=True))
+@click.option("--keep-positions", is_flag=True, default=False)
+@click.option("--uncompressed", is_flag=True, default=False)
+@click.option("--threads", type=int, default=1, show_default=True)
+@click.option("--output", "-o", help="Output file name")
+@click.option("--on-disk", is_flag=True, default=False, show_default=True)
+def build(ar, refalign, reftree, states, verbosity, workdir, alpha, categories,
+          k, model, convert_uo, no_reduction, reduction_ratio, omega, filter,
+          mu, ghosts, use_unrooted, merge_branches, ar_dir, ar_only, ar_config,
+          keep_positions, uncompressed, threads, output, on_disk):
+    """Compute a database of phylo-k-mers."""
+    from .pipeline import BuildParams, build_database
+    if states == "nucl" and keep_positions:
+        raise click.ClickException("--keep-positions is not supported for DNA.")
+    params = BuildParams(
+        refalign=refalign, reftree=reftree, states=states,
+        working_dir=workdir,
+        output_filename=output or os.path.join(workdir, "DB.ipk"),
+        ar_binary=ar or "", ar_dir=ar_dir or "",
+        ar_parameters=parse_config(ar_config) if ar_config else "",
+        ar_only=ar_only, model=model or "GTR", alpha=alpha,
+        categories=categories, kmer_size=k, omega=omega, mu=mu,
+        reduction_ratio=reduction_ratio, no_reduction=no_reduction,
+        filter=filter, ghosts=ghosts, use_unrooted=use_unrooted,
+        merge_branches=merge_branches, keep_positions=keep_positions,
+        uncompressed=uncompressed, on_disk=on_disk, num_threads=threads,
+        verbosity=verbosity)
+    build_database(params)
+
+
+@ipk.command()
+@click.argument("db1", type=click.Path(exists=True))
+@click.argument("db2", type=click.Path(exists=True))
+@click.option("--verbose", is_flag=True, default=False)
+@click.option("--eps", type=float, default=0.0, show_default=True,
+              help="Score tolerance; 0 = exact (reference ipkdiff uses 1e-2).")
+def diff(db1, db2, verbose, eps):
+    """Compare two databases field by field; exit 1 on any difference."""
+    from .tools import diff_databases
+    ok = diff_databases(db1, db2, verbose=verbose, eps=eps)
+    sys.exit(0 if ok else 1)
+
+
+@ipk.command()
+@click.argument("database", type=click.Path(exists=True))
+def dump(database):
+    """Plain-text dump (format of the reference ipkdump, dump.cpp:18-33)."""
+    from .tools import dump_database
+    dump_database(database, sys.stdout)
+
+
+if __name__ == "__main__":
+    ipk()

@@ -1,0 +1,217 @@
+"""Dense phylo-k-mer enumeration: the TPU-native replacement for DCLA.
+
+The reference enumerates surviving k-mers per window with a recursive
+divide-and-conquer over sorted survivor lists (``ipk/src/pk_compute.cpp:42-114``)
+and merges them into per-branch hash maps with insert-or-max
+(``ipk/src/branch_group.cpp:88-102``). Data-dependent list sizes and hash
+tables are hostile to XLA; instead we compute, for every window, the scores of
+*all* σ^k candidates as a level-wise "kron-sum" over the candidate space, with
+per-level threshold masking, and fold windows together with a running
+element-wise max into a dense per-ghost accumulator ``A[σ^h]``:
+
+* The combine tree follows the reference's exact split ``(h/2, h - h/2)``
+  (``pk_compute.cpp:54-58``), so every surviving score is produced by the same
+  f32 summation tree and is bit-identical to the reference's float arithmetic.
+* Per-level thresholds replicate ``eps_l = eps - range_max(right)`` /
+  ``eps_r = eps - range_max(left)`` using the same prefix-sum bound oracle
+  (``window.cpp:16-27,69-72``) in f32. Candidates pruned at any level become
+  ``-inf`` and stay pruned (x + -inf = -inf), exactly mirroring the recursion's
+  survivor-list semantics: a candidate survives iff its sub-score is strictly
+  greater than the level's eps at *every* level (``pk_compute.cpp:19-21,90-94``).
+* The per-branch hash map + ``put`` insert-or-max becomes
+  ``A = max(A, window_scores)`` — associative, so windows/ghosts parallelize
+  freely and the result is independent of processing order.
+
+Everything is static-shaped: all AR matrices in a build share the same width
+S, every ghost yields W = S - k + 1 windows, and the accumulator has σ^k
+entries (mixed-radix base-σ index; converted to the reference's bit-packed key
+at extraction time, see ``ipk_tpu.seq.dense_index_to_key``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "split_tree",
+    "compute_eps",
+    "score_window_block",
+    "accumulate_matrix",
+    "accumulate_ghosts",
+    "group_max",
+    "best_score_prefix",
+    "NEG_INF",
+]
+
+NEG_INF = np.float32(-np.inf)
+
+
+def split_tree(k: int) -> List[Tuple[int, int]]:
+    """Sub-window spans (j, h) of the DCLA recursion, children before parents.
+
+    Matches the recursion ``DC(j, h) -> DC(j, h/2), DC(j + h/2, h - h/2)``
+    (``pk_compute.cpp:54-58``); the returned order is safe for bottom-up
+    evaluation.
+    """
+    order: List[Tuple[int, int]] = []
+
+    def build(j: int, h: int) -> None:
+        if h > 1:
+            hl = h // 2
+            build(j, hl)
+            build(j + hl, h - hl)
+        order.append((j, h))
+
+    build(0, k)
+    return order
+
+
+def best_score_prefix(P: np.ndarray) -> np.ndarray:
+    """Sequential f32 prefix sums of per-column max log-scores.
+
+    The branch-and-bound bound oracle: ``range_max_sum(start, len) =
+    prefix[start+len] - prefix[start]`` (``window.cpp:16-27,69-72``). Computed
+    host-side with numpy's sequential cumsum so the f32 accumulation order
+    matches the reference's left-to-right loop.
+
+    P: [..., S, sigma] log10 scores. Returns [..., S+1] f32.
+    """
+    P = np.asarray(P, dtype=np.float32)
+    best = P.max(axis=-1)
+    prefix = np.zeros(P.shape[:-2] + (P.shape[-2] + 1,), dtype=np.float32)
+    np.cumsum(best, axis=-1, dtype=np.float32, out=prefix[..., 1:])
+    return prefix
+
+
+def compute_eps(prefix: jnp.ndarray, k: int, log_threshold, w0,
+                block_w: int) -> Dict[Tuple[int, int], jnp.ndarray]:
+    """Per-span, per-window pruning thresholds for a block of windows.
+
+    prefix: [S+1] f32 bound-oracle prefix sums for one ghost matrix.
+    Returns {(j, h): eps[block_w]} with the top span's eps equal to
+    ``log_threshold`` and children derived by the reference's exact f32
+    subtraction chain (``pk_compute.cpp:54-55``).
+    """
+    eps: Dict[Tuple[int, int], jnp.ndarray] = {}
+    eps[(0, k)] = jnp.full((block_w,), log_threshold, dtype=jnp.float32)
+
+    def range_max(start_rel: int, length: int) -> jnp.ndarray:
+        hi = jax.lax.dynamic_slice(prefix, (w0 + start_rel + length,), (block_w,))
+        lo = jax.lax.dynamic_slice(prefix, (w0 + start_rel,), (block_w,))
+        return hi - lo
+
+    def descend(j: int, h: int) -> None:
+        if h <= 1:
+            return
+        hl = h // 2
+        hr = h - hl
+        parent = eps[(j, h)]
+        eps[(j, hl)] = parent - range_max(j + hl, hr)
+        eps[(j + hl, hr)] = parent - range_max(j, hl)
+        descend(j, hl)
+        descend(j + hl, hr)
+
+    descend(0, k)
+    return eps
+
+
+def score_window_block(P: jnp.ndarray, prefix: jnp.ndarray, w0, *, k: int,
+                       sigma: int, log_threshold, block_w: int) -> jnp.ndarray:
+    """Scores of all sigma^k candidates for windows [w0, w0+block_w).
+
+    P: [S, sigma] f32 log10 posteriors of one ghost matrix.
+    Returns [block_w, sigma^k] f32; pruned candidates are -inf.
+    """
+    eps = compute_eps(prefix, k, log_threshold, w0, block_w)
+    scores: Dict[Tuple[int, int], jnp.ndarray] = {}
+    for (j, h) in split_tree(k):
+        e = eps[(j, h)][:, None]
+        if h == 1:
+            T = jax.lax.dynamic_slice(P, (w0 + j, 0), (block_w, sigma))
+        else:
+            hl = h // 2
+            hr = h - hl
+            Tl = scores.pop((j, hl))
+            Tr = scores.pop((j + hl, hr))
+            T = (Tl[:, :, None] + Tr[:, None, :]).reshape(block_w, -1)
+        scores[(j, h)] = jnp.where(T > e, T, NEG_INF)
+    return scores[(0, k)]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "sigma", "block_w", "with_count"))
+def accumulate_matrix(P: jnp.ndarray, prefix: jnp.ndarray, log_threshold,
+                      *, k: int, sigma: int, block_w: int = 32,
+                      with_count: bool = False):
+    """Max-over-windows accumulator for one ghost matrix.
+
+    Replaces the per-group hash map + ``put`` insert-or-max
+    (``db_builder.cpp:645-665``, ``branch_group.cpp:88-102``): returns
+    ``A[sigma^k]`` with A[c] = max over windows of the candidate's score, or
+    -inf if pruned in every window. Tail windows are handled by overlapping the
+    last block (re-scoring a window is a no-op under max).
+
+    with_count=True additionally returns the number of surviving
+    (window, k-mer) tuples — the reference's explored-tuple counter
+    (``db_builder.cpp:576-626``) used for the k-mers/sec benchmark metric;
+    overlapped tail windows are counted once.
+    """
+    S = P.shape[0]
+    W = S - k + 1
+    if W <= 0:
+        A = jnp.full((sigma ** k,), NEG_INF, dtype=jnp.float32)
+        return (A, jnp.zeros((), jnp.int32)) if with_count else A
+    bw = min(block_w, W)
+    num_blocks = -(-W // bw)
+
+    def body(i, carry):
+        A, count = carry
+        w0 = jnp.minimum(i * bw, W - bw)
+        T = score_window_block(P, prefix, w0, k=k, sigma=sigma,
+                               log_threshold=log_threshold, block_w=bw)
+        if with_count:
+            fresh = (w0 + jnp.arange(bw)) >= i * bw  # exclude overlap re-scores
+            # per-GHOST int32 counter (x64 is off under jit): safe through
+            # DNA k=10 (W * sigma^k < 2^31); callers sum ghosts in int64
+            per_window = jnp.isfinite(T).sum(axis=1, dtype=jnp.int32)
+            count = count + jnp.where(fresh, per_window, 0).sum()
+        return jnp.maximum(A, T.max(axis=0)), count
+
+    # the data-derived zero keeps the carry's varying-axes (shard_map vma)
+    # consistent with the body output when this runs inside shard_map
+    zero = P[:0, 0].sum().astype(jnp.float32)
+    A0 = jnp.full((sigma ** k,), NEG_INF, dtype=jnp.float32) + zero
+    c0 = jnp.zeros((), jnp.int32) + zero.astype(jnp.int32)
+    A, count = jax.lax.fori_loop(0, num_blocks, body, (A0, c0))
+    return (A, count) if with_count else A
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "sigma", "block_w", "with_count"))
+def accumulate_ghosts(P_all: jnp.ndarray, prefix_all: jnp.ndarray,
+                      log_threshold, *, k: int, sigma: int,
+                      block_w: int = 32, with_count: bool = False):
+    """vmapped :func:`accumulate_matrix` over the ghost axis.
+
+    P_all: [G, S, sigma], prefix_all: [G, S+1] → [G, sigma^k]
+    (plus per-ghost tuple counts when with_count).
+    """
+    fn = functools.partial(accumulate_matrix, k=k, sigma=sigma,
+                           block_w=block_w, with_count=with_count)
+    return jax.vmap(fn, in_axes=(0, 0, None))(P_all, prefix_all, log_threshold)
+
+
+def group_max(A_ghost: jnp.ndarray, ghosts_per_group: int) -> jnp.ndarray:
+    """Merge ghosts of the same original branch by max.
+
+    A_ghost [G, sigma^k] with ghosts of a group adjacent → [B, sigma^k].
+    Replicates the X0/X1 merge of ``explore_group`` (``db_builder.cpp:641-665``).
+    """
+    G, Kspace = A_ghost.shape
+    B = G // ghosts_per_group
+    return A_ghost.reshape(B, ghosts_per_group, Kspace).max(axis=1)

@@ -1,0 +1,126 @@
+"""Informativeness filters: mutual-information (mif0) and random.
+
+Counterpart of ``ipk/src/filter.cpp``. Filter values only determine the
+*serialization order* of the database — nothing is dropped at build time
+(``--mu`` moved to EPIK; ``filter.cpp`` + CHANGELOG v0.5.0). The DB is sorted
+ascending by filter value: mif0 values are negated mutual information, so
+ascending = most informative first (``db_builder.cpp:281-284``).
+
+mif0 math replicated from ``filter.cpp:60-119`` (all in float64, as the
+reference uses double):
+
+    S_w        = Σ_entries min(10^log_score, 1) + (N - |entries|) * threshold
+    H(c|B_w=1) = N * shannon(threshold/S_w)
+                 + Σ_entries [shannon(s_i/S_w) - shannon(threshold/S_w)]
+    fv         = S_w * (H(c|B_w=1) - log2(N))
+
+with shannon(x) = -x*log2(x), N = total node count of the original tree
+(``db_builder.cpp:261``), threshold = (omega/sigma)^k in linear space.
+
+The random filter replicates libstdc++'s ``std::default_random_engine(42)``
+(= minstd_rand0) + ``uniform_real_distribution<double>(0,1)`` stream
+(``filter.cpp:133-147``), verified against compiled libstdc++ output. Caveat:
+the reference assigns values in C++ hash-map iteration order, which is
+implementation-defined; we assign in ascending-key order (documented
+deviation — the reference's order is not reproducible even across its own
+builds with different hash maps).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["score_threshold", "logscore_to_score", "mif0_filter_values",
+           "random_filter_values", "minstd0_uniform_stream", "sort_order"]
+
+
+def score_threshold(omega: float, sigma: int, k: int) -> float:
+    """(omega/sigma)^k in linear space (``i2l::score_threshold`` via
+    ``db_builder.cpp:260,640``)."""
+    return float((np.float64(omega) / np.float64(sigma)) ** k)
+
+
+def logscore_to_score(log_score: np.ndarray) -> np.ndarray:
+    """min(10^x, 1.0) (``filter.cpp:20-23``)."""
+    return np.minimum(np.power(10.0, np.asarray(log_score, dtype=np.float64)),
+                      1.0)
+
+
+def _shannon(x: np.ndarray) -> np.ndarray:
+    return -x * np.log2(x)
+
+
+def mif0_filter_values(scores: np.ndarray, mask: np.ndarray,
+                       total_num_groups: int, threshold: float) -> np.ndarray:
+    """Vectorized mif0 over the dense accumulator.
+
+    scores: [B, K] f32 log10 scores (entries where mask), mask: [B, K] bool.
+    Returns fv[K] float64; undefined (arbitrary) where a key has no entries.
+    """
+    N = np.float64(total_num_groups)
+    thr = np.float64(threshold)
+    lin = np.where(mask, logscore_to_score(scores), 0.0)
+    cnt = mask.sum(axis=0, dtype=np.float64)
+    score_sum = lin.sum(axis=0, dtype=np.float64) + (N - cnt) * thr
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tt = _shannon(thr / score_sum)
+        tv = np.where(mask, _shannon(lin / score_sum), 0.0)
+        HcBw1 = N * tt + (tv.sum(axis=0) - cnt * tt)
+        fv = score_sum * (HcBw1 - np.log2(N))
+    return fv
+
+
+def mif0_filter_values_entries(entry_scores: np.ndarray,
+                               entry_key_index: np.ndarray,
+                               num_keys: int,
+                               total_num_groups: int,
+                               threshold: float) -> np.ndarray:
+    """mif0 over a compacted entry list (for the sparse/large-k path).
+
+    entry_scores: [E] f32 log10; entry_key_index: [E] int — index of the key
+    each entry belongs to; returns fv[num_keys] float64.
+    """
+    N = np.float64(total_num_groups)
+    thr = np.float64(threshold)
+    lin = logscore_to_score(entry_scores)
+    cnt = np.bincount(entry_key_index, minlength=num_keys).astype(np.float64)
+    ssum = np.bincount(entry_key_index, weights=lin, minlength=num_keys)
+    score_sum = ssum + (N - cnt) * thr
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tt = _shannon(thr / score_sum)
+        tv_sum = np.bincount(entry_key_index,
+                             weights=_shannon(lin / score_sum[entry_key_index]),
+                             minlength=num_keys)
+        HcBw1 = N * tt + (tv_sum - cnt * tt)
+        fv = score_sum * (HcBw1 - np.log2(N))
+    return fv
+
+
+def minstd0_uniform_stream(n: int, seed: int = 42) -> np.ndarray:
+    """First n doubles of libstdc++ ``uniform_real_distribution<double>(0,1)``
+    over ``minstd_rand0(seed)``: two engine draws per double via
+    generate_canonical, sum/factor arithmetic in float64."""
+    out = np.empty(n, dtype=np.float64)
+    x = np.uint64(seed)
+    m = np.uint64(2147483647)
+    a = np.uint64(16807)
+    r = np.float64(2147483646.0)  # engine range + 1
+    for i in range(n):
+        x = (x * a) % m
+        d1 = np.float64(x - np.uint64(1))
+        x = (x * a) % m
+        d2 = np.float64(x - np.uint64(1))
+        out[i] = (d1 + d2 * r) / (r * r)
+    return out
+
+
+def random_filter_values(num_keys: int, seed: int = 42) -> np.ndarray:
+    """Random filter (``filter.cpp:122-147``): seeded uniform(0,1) doubles,
+    cast to float32 as the reference does (``filter.cpp:142``)."""
+    return minstd0_uniform_stream(num_keys, seed).astype(np.float32)
+
+
+def sort_order(filter_values: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Ascending filter value, ties broken by key (deterministic total order;
+    the reference's std::sort is unstable on ties, ``db_builder.cpp:284``)."""
+    return np.lexsort((keys, filter_values))

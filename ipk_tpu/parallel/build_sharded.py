@@ -1,0 +1,116 @@
+"""Multi-chip sharded build step: branch-data-parallel enumeration +
+distributed mutual-information reduction.
+
+This is the TPU-native equivalent of the checklist in SURVEY.md §2.3: the
+branch loop the reference left as a commented-out OpenMP pragma
+(``db_builder.cpp:602-605``) becomes ``shard_map`` over the "branch" mesh
+axis; the mif0 filter pass (``filter.cpp:60-119``) becomes two XLA collective
+reductions (``psum`` over the branch axis) on the dense accumulator.
+
+Numerical note: the distributed filter runs in f32 on device (fast path for
+pod-scale builds); the canonical serialization path recomputes filter values
+in f64 on host (``ipk_tpu.core.filter``) so that DB ordering is exact. The
+enumeration itself is bit-exact in both paths.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core import dense
+
+__all__ = ["sharded_build_step", "pad_ghosts", "PAD_LOG_SCORE"]
+
+#: Padding value for dummy ghost matrices (branch-axis padding): a large
+#: negative *finite* log-score so eps-chain arithmetic stays NaN-free while
+#: every padded candidate is pruned to -inf by the threshold masks.
+PAD_LOG_SCORE = np.float32(-1e9)
+
+
+def pad_ghosts(P_all: np.ndarray, prefix_all: np.ndarray, multiple: int):
+    """Pad the ghost axis to a multiple (whole groups at a time)."""
+    G = P_all.shape[0]
+    target = -(-G // multiple) * multiple
+    if target == G:
+        return P_all, prefix_all, G
+    pad = target - G
+    P_pad = np.full((pad,) + P_all.shape[1:], PAD_LOG_SCORE, dtype=np.float32)
+    pref_pad = dense.best_score_prefix(P_pad)
+    return (np.concatenate([P_all, P_pad]),
+            np.concatenate([prefix_all, pref_pad]), G)
+
+
+def _shannon(x):
+    return -x * jnp.log2(x)
+
+
+def _local_step(P_loc, prefix_loc, log_threshold, *, k, sigma,
+                ghosts_per_group, total_num_groups, threshold, block_w):
+    """Per-device: enumerate local ghosts, then join the collective MI pass."""
+    A_ghost = dense.accumulate_ghosts(P_loc, prefix_loc, log_threshold,
+                                      k=k, sigma=sigma, block_w=block_w)
+    A_loc = dense.group_max(A_ghost, ghosts_per_group)        # [B_loc, K]
+
+    mask = jnp.isfinite(A_loc)
+    lin = jnp.where(mask, jnp.minimum(10.0 ** A_loc.astype(jnp.float32), 1.0),
+                    0.0)
+    cnt = jax.lax.psum(mask.sum(axis=0).astype(jnp.float32), "branch")
+    lin_sum = jax.lax.psum(lin.sum(axis=0), "branch")
+
+    N = jnp.float32(total_num_groups)
+    thr = jnp.float32(threshold)
+    score_sum = lin_sum + (N - cnt) * thr
+    tv = jnp.where(mask, _shannon(lin / score_sum[None, :]), 0.0)
+    tv_sum = jax.lax.psum(tv.sum(axis=0), "branch")
+
+    # key-axis sharding of the filter-value tail: each key-shard finishes its
+    # contiguous k-mer range (the device-resident analog of the reference's
+    # k-mer-space batching, branch_group.cpp:104-107)
+    n_key = jax.lax.axis_size("key")
+    K = score_sum.shape[0]
+    chunk = K // n_key
+    start = jax.lax.axis_index("key") * chunk
+    ss = jax.lax.dynamic_slice(score_sum, (start,), (chunk,))
+    cnt_k = jax.lax.dynamic_slice(cnt, (start,), (chunk,))
+    tv_k = jax.lax.dynamic_slice(tv_sum, (start,), (chunk,))
+    tt = _shannon(thr / ss)
+    HcBw1 = N * tt + (tv_k - cnt_k * tt)
+    fv = ss * (HcBw1 - jnp.log2(N))
+    return A_loc, fv
+
+
+def sharded_build_step(mesh: Mesh, *, k: int, sigma: int, ghosts_per_group: int,
+                       total_num_groups: int, threshold: float,
+                       block_w: int = 32):
+    """Build the jitted sharded step: (P_all, prefix_all, log_threshold) →
+    (A[B, σ^k] branch-sharded, fv[σ^k] f32 replicated).
+
+    P_all's ghost axis must be divisible by mesh branch size × group size
+    (use :func:`pad_ghosts`).
+    """
+    local = functools.partial(
+        _local_step, k=k, sigma=sigma, ghosts_per_group=ghosts_per_group,
+        total_num_groups=total_num_groups, threshold=threshold,
+        block_w=block_w)
+    n_key = mesh.shape.get("key", 1)
+    if (sigma ** k) % n_key != 0:
+        raise ValueError(f"key-axis size {n_key} must divide sigma^k")
+    mapped = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("branch"), P("branch"), P()),
+        out_specs=(P("branch"), P("key")))
+
+    @jax.jit
+    def step(P_all, prefix_all, log_threshold):
+        P_all = jax.lax.with_sharding_constraint(
+            P_all, NamedSharding(mesh, P("branch")))
+        prefix_all = jax.lax.with_sharding_constraint(
+            prefix_all, NamedSharding(mesh, P("branch")))
+        return mapped(P_all, prefix_all, log_threshold)
+
+    return step

@@ -1,0 +1,127 @@
+"""End-to-end database build: alignment → tree extension → AR → TPU build.
+
+Counterpart of the reference driver ``ipk/src/main.cpp:129-199``
+(``build_database``) — the single entry the CLI calls. Stage order and
+artifacts replicate the reference exactly:
+
+* ``<workdir>/align.reduced.fasta`` (``alignment.cpp:266-269``)
+* ``<workdir>/extended_trees/extended_tree.newick`` (``main.cpp:39-46``)
+* ``<workdir>/extended_trees/extended_align.{fasta,phylip}`` (``main.cpp:48-63``)
+* ``<workdir>/AR/ar_tree_rerooted.newick`` when AR unroots a rooted input
+  (``main.cpp:65-74,170-178``)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+from .seq import get_traits
+from . import alignment as aln
+from . import tree as tr
+from .ar import bridge
+from .ar.mapping import map_nodes
+from .ar.reader import read_ancestral_probs
+from .builder import build, BuildResult
+
+__all__ = ["BuildParams", "build_database"]
+
+
+@dataclasses.dataclass
+class BuildParams:
+    """Mirror of the CLI parameter surface (``ipk.py:70-202``,
+    ``command_line.h:18-86``)."""
+    refalign: str = ""
+    reftree: str = ""
+    states: str = "nucl"
+    working_dir: str = ""
+    output_filename: str = ""
+    ar_binary: str = ""
+    ar_dir: str = ""
+    ar_parameters: str = ""
+    ar_only: bool = False
+    model: str = "GTR"
+    alpha: float = 1.0
+    categories: int = 4
+    kmer_size: int = 8
+    omega: float = 1.5
+    mu: float = 1.0              # accepted but dead, like the reference
+    reduction_ratio: float = 0.99
+    no_reduction: bool = False
+    filter: str = "mif0"
+    ghosts: str = "both"
+    use_unrooted: bool = False
+    merge_branches: bool = False
+    keep_positions: bool = False
+    uncompressed: bool = False
+    on_disk: bool = False
+    num_threads: int = 1
+    verbosity: int = 1
+
+
+def build_database(p: BuildParams) -> Optional[BuildResult]:
+    traits = get_traits(p.states)
+    if p.kmer_size > traits.max_kmer_length:
+        raise RuntimeError(f"Maximum k-mer size allowed: {traits.max_kmer_length}")
+
+    # L5: alignment preprocessing
+    align = aln.preprocess_alignment(p.working_dir, p.refalign,
+                                     p.reduction_ratio, p.no_reduction,
+                                     traits, p.verbosity)
+
+    # L5: tree extension
+    original_tree, extended_tree, ghost_mapping = tr.preprocess_tree(
+        p.reftree, p.use_unrooted)
+    ext_dir = os.path.join(p.working_dir, "extended_trees")
+    os.makedirs(ext_dir, exist_ok=True)
+    ext_tree_file = os.path.join(ext_dir, "extended_tree.newick")
+    tr.save_tree(extended_tree, ext_tree_file)
+
+    extended = aln.extend_alignment(align, extended_tree, traits)
+    fasta_path = os.path.join(ext_dir, "extended_align.fasta")
+    phylip_path = os.path.join(ext_dir, "extended_align.phylip")
+    aln.save_alignment(extended, fasta_path, "fasta")
+    aln.save_alignment(extended, phylip_path, "phylip")
+
+    # L4: ancestral reconstruction (subprocess or --ar-dir replay)
+    ar_params = bridge.ArParameters(
+        binary_file=p.ar_binary, ar_dir=p.ar_dir,
+        ar_parameters=p.ar_parameters, model=p.model, alpha=p.alpha,
+        categories=p.categories, num_threads=p.num_threads,
+        tree_file=ext_tree_file, alignment_file=phylip_path)
+    if p.ar_dir:
+        software = "raxml-ng"  # replay only supports raxml-ng outputs
+    else:
+        binary = p.ar_binary or bridge.find_raxmlng()
+        ar_params.binary_file = binary
+        software = bridge.guess_software(binary, p.working_dir)
+    probs_file, ar_tree_file = bridge.run_ancestral_reconstruction(
+        software, ar_params)
+
+    if p.ar_only:
+        if p.verbosity > 0:
+            print("--ar-only requested. Finishing after ancestral "
+                  "reconstruction.")
+        return None
+
+    # AR unroots a rooted input; re-root it back (``main.cpp:170-178``)
+    ar_tree = tr.load_newick(ar_tree_file)
+    if original_tree.is_rooted() and not ar_tree.is_rooted():
+        tr.reroot_tree(ar_tree)
+        ar_dir_out = os.path.join(p.working_dir, "AR")
+        os.makedirs(ar_dir_out, exist_ok=True)
+        tr.save_tree(ar_tree, os.path.join(ar_dir_out,
+                                           "ar_tree_rerooted.newick"))
+
+    ar_mapping = map_nodes(extended_tree, ar_tree)
+    label_rows, P = read_ancestral_probs(probs_file, traits)
+
+    output = p.output_filename or os.path.join(p.working_dir, "DB.ipk")
+    return build(original_tree, extended_tree, ghost_mapping, ar_mapping,
+                 label_rows, P,
+                 traits=traits, kmer_size=p.kmer_size, omega=p.omega,
+                 filter_type=p.filter, ghost_strategy=p.ghosts,
+                 merge_branches=p.merge_branches,
+                 output_filename=output, uncompressed=p.uncompressed,
+                 verbose=p.verbosity)

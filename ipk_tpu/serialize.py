@@ -1,0 +1,243 @@
+"""``.ipk`` database serialization.
+
+Counterpart of the i2l v0.5.x streaming protocol whose *semantics* are pinned
+by IPK call sites (``db_builder.cpp:297-332,392-458``; SURVEY.md §2.2): a
+header {sequence type, tree index, newick tree, k, omega, #kmers, #entries}
+followed by per-k-mer records {key, filter_value, entries} in filter order,
+zlib-compressed by default with an uncompressed fallback on load
+(CHANGELOG v0.3.0).
+
+The exact i2l byte layout is unrecoverable from the reference snapshot (the
+i2l submodule is absent — SURVEY.md gap G1), so this module defines a
+self-consistent, versioned layout in the same style (boost-binary-archive-like
+little-endian primitives, length-prefixed strings):
+
+    magic:   u64 len=22 + b"serialization::archive" + u16 archive version (18)
+    payload: u32 protocol_version
+             str sequence_type            (u64 length + bytes)
+             u64 tree_index count, then per node: u64 num_nodes + f64 length
+             str tree                     (newick)
+             u64 kmer_size
+             f32 omega
+             u8  positions flag           (aa-pos variant)
+             u64 num_kmers, u64 num_entries
+    record:  u64 key, f32 filter_value, u64 count,
+             count * (u32 branch, f32 score[, u32 position])
+
+Unlike the reference's ``ipkdiff`` (which always exits 0,
+``tools/src/diff.cpp:115-116``), our diff tool fails properly — see
+``ipk_tpu.cli``.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import zlib
+from typing import BinaryIO, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from .db import PhyloKmerDB, PROTOCOL_VERSION
+
+__all__ = ["save", "load", "IpkWriter", "BatchLoader"]
+
+_MAGIC = struct.pack("<Q", 22) + b"serialization::archive" + struct.pack("<H", 18)
+
+
+def _pack_str(s: str) -> bytes:
+    data = s.encode("utf-8")
+    return struct.pack("<Q", len(data)) + data
+
+
+class _Reader:
+    def __init__(self, data: bytes):
+        self.buf = memoryview(data)
+        self.pos = 0
+
+    def take(self, n: int) -> memoryview:
+        out = self.buf[self.pos:self.pos + n]
+        if len(out) != n:
+            raise RuntimeError("Truncated .ipk file")
+        self.pos += n
+        return out
+
+    def u64(self) -> int:
+        return struct.unpack("<Q", self.take(8))[0]
+
+    def u32(self) -> int:
+        return struct.unpack("<I", self.take(4))[0]
+
+    def u16(self) -> int:
+        return struct.unpack("<H", self.take(2))[0]
+
+    def u8(self) -> int:
+        return self.take(1)[0]
+
+    def f32(self) -> float:
+        return struct.unpack("<f", self.take(4))[0]
+
+    def f64(self) -> float:
+        return struct.unpack("<d", self.take(8))[0]
+
+    def string(self) -> str:
+        n = self.u64()
+        return bytes(self.take(n)).decode("utf-8")
+
+
+class IpkWriter:
+    """Streaming writer (compressed or raw), mirroring the reference's
+    header-then-records archive streaming (``db_builder.cpp:145-147,297-332``)."""
+
+    def __init__(self, filename: str, compressed: bool = True):
+        self._file: BinaryIO = open(filename, "wb")
+        self._z = zlib.compressobj(6) if compressed else None
+        self._write(_MAGIC)
+
+    def _write(self, data: bytes) -> None:
+        if self._z is not None:
+            self._file.write(self._z.compress(data))
+        else:
+            self._file.write(data)
+
+    def write_header(self, db: PhyloKmerDB, num_kmers: int,
+                     num_entries: int) -> None:
+        out = io.BytesIO()
+        out.write(struct.pack("<I", db.version))
+        out.write(_pack_str(db.sequence_type))
+        out.write(struct.pack("<Q", len(db.tree_index)))
+        for num_nodes, sbl in db.tree_index:
+            out.write(struct.pack("<Qd", int(num_nodes), float(sbl)))
+        out.write(_pack_str(db.tree))
+        out.write(struct.pack("<Q", db.kmer_size))
+        out.write(struct.pack("<f", np.float32(db.omega)))
+        out.write(struct.pack("<B", 1 if db.positions is not None else 0))
+        out.write(struct.pack("<QQ", num_kmers, num_entries))
+        self._write(out.getvalue())
+        self._positions = db.positions is not None
+
+    def write_kmer(self, key: int, filter_value: float,
+                   branches: np.ndarray, scores: np.ndarray,
+                   positions: Optional[np.ndarray] = None) -> None:
+        """One record (cf. ``i2l::save_phylo_kmer``, ``db_builder.cpp:327``)."""
+        n = len(branches)
+        out = io.BytesIO()
+        out.write(struct.pack("<QfQ", int(key), np.float32(filter_value), n))
+        if positions is not None:
+            rec = np.empty(n, dtype=[("b", "<u4"), ("s", "<f4"), ("p", "<u4")])
+            rec["p"] = positions
+        else:
+            rec = np.empty(n, dtype=[("b", "<u4"), ("s", "<f4")])
+        rec["b"] = branches
+        rec["s"] = scores
+        out.write(rec.tobytes())
+        self._write(out.getvalue())
+
+    def close(self) -> None:
+        if self._z is not None:
+            self._file.write(self._z.flush())
+            self._z = None
+        self._file.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def save(db: PhyloKmerDB, filename: str, compressed: bool = True) -> None:
+    """Serialize a whole DB in its stored row order."""
+    with IpkWriter(filename, compressed=compressed) as w:
+        w.write_header(db, db.size(), db.num_entries())
+        for row in range(db.size()):
+            lo, hi = db.offsets[row], db.offsets[row + 1]
+            w.write_kmer(db.keys[row], db.filter_values[row],
+                         db.branches[lo:hi], db.scores[lo:hi],
+                         None if db.positions is None else db.positions[lo:hi])
+
+
+def _decompress(raw: bytes) -> bytes:
+    """Try zlib first, fall back to raw — the reference loader's behavior
+    (CHANGELOG v0.3.0)."""
+    try:
+        return zlib.decompress(raw)
+    except zlib.error:
+        return raw
+
+
+def load(filename: str) -> PhyloKmerDB:
+    with open(filename, "rb") as f:
+        data = _decompress(f.read())
+    r = _Reader(data)
+    if bytes(r.take(len(_MAGIC))) != _MAGIC:
+        raise RuntimeError(f"Not an ipk_tpu database: {filename}")
+    version = r.u32()
+    sequence_type = r.string()
+    n_index = r.u64()
+    tree_index = [(r.u64(), r.f64()) for _ in range(n_index)]
+    tree = r.string()
+    kmer_size = r.u64()
+    omega = r.f32()
+    has_positions = bool(r.u8())
+    num_kmers = r.u64()
+    num_entries = r.u64()
+
+    db = PhyloKmerDB(kmer_size, omega, sequence_type, tree, tree_index, version)
+    keys = np.empty(num_kmers, dtype=np.uint64)
+    fvs = np.empty(num_kmers, dtype=np.float32)
+    offsets = np.zeros(num_kmers + 1, dtype=np.int64)
+    branches = np.empty(num_entries, dtype=np.uint32)
+    scores = np.empty(num_entries, dtype=np.float32)
+    positions = np.empty(num_entries, dtype=np.uint32) if has_positions else None
+    entry_dtype = (np.dtype([("b", "<u4"), ("s", "<f4"), ("p", "<u4")])
+                   if has_positions else np.dtype([("b", "<u4"), ("s", "<f4")]))
+    pos = 0
+    for i in range(num_kmers):
+        keys[i], fvs[i], n = struct.unpack("<QfQ", r.take(20))
+        rec = np.frombuffer(r.take(n * entry_dtype.itemsize), dtype=entry_dtype)
+        branches[pos:pos + n] = rec["b"]
+        scores[pos:pos + n] = rec["s"]
+        if has_positions:
+            positions[pos:pos + n] = rec["p"]
+        pos += n
+        offsets[i + 1] = pos
+    if pos != num_entries:
+        raise RuntimeError(f"Corrupt .ipk: {pos} entries read, "
+                           f"{num_entries} declared")
+    db.set_data(keys, fvs, offsets, branches, scores, positions)
+    return db
+
+
+class BatchLoader:
+    """Lazy cursor over one batch DB for the k-way on-disk merge
+    (cf. ``i2l::batch_loader``, ``db_builder.cpp:392-458``)."""
+
+    def __init__(self, filename: str):
+        self._db = load(filename)
+        self._row = -1
+
+    def get_num_kmers(self) -> int:
+        return self._db.size()
+
+    def has_next(self) -> bool:
+        return self._row + 1 < self._db.size()
+
+    def next(self) -> None:
+        self._row += 1
+
+    @property
+    def current(self) -> Tuple[int, float, list]:
+        db = self._db
+        row = self._row
+        return (int(db.keys[row]), float(db.filter_values[row]),
+                db.entries_at(row))
+
+    @property
+    def current_arrays(self):
+        db = self._db
+        row = self._row
+        lo, hi = db.offsets[row], db.offsets[row + 1]
+        return (db.keys[row], db.filter_values[row], db.branches[lo:hi],
+                db.scores[lo:hi],
+                None if db.positions is None else db.positions[lo:hi])

@@ -1,0 +1,149 @@
+// Clean-room single-core baseline for the benchmark's vs_baseline ratio.
+//
+// The reference IPK binary cannot be built in this environment (its i2l
+// submodule is absent — SURVEY.md gap G1), so BASELINE.md's "measured
+// locally" single-core number comes from this independent implementation of
+// the published divide-and-conquer phylo-k-mer enumeration (doi
+// 10.1093/bioinformatics/btad692): per window, recursively split [j, j+h)
+// at h/2, bound children with prefix max-sums, sort the smaller survivor
+// list by score and combine pairs with early termination, then merge window
+// results into a per-group map with insert-or-max. Reports the same
+// explored-tuple counter the reference prints in stage 1.
+//
+// stdin protocol (binary, little-endian):
+//   int64 G, S, sigma, k; float eps;  then G*S*sigma float32 log10 scores.
+// stdout: one JSON line {"tuples": N, "ms": T, "entries": M}.
+//
+// Build: g++ -O3 -march=native -o baseline_dcla baseline_dcla.cpp
+
+#include <algorithm>
+#include <chrono>
+#include <cstdint>
+#include <cstdio>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+using Survivor = std::pair<uint64_t, float>;  // packed code, log10 score
+
+struct Matrix {
+    const float* data;  // [S, sigma]
+    int64_t S, sigma;
+    std::vector<float> max_prefix;  // [S+1] cumulative per-column maxima
+
+    void build_prefix() {
+        max_prefix.assign(S + 1, 0.0f);
+        float acc = 0.0f;
+        for (int64_t j = 0; j < S; ++j) {
+            float best = data[j * sigma];
+            for (int64_t c = 1; c < sigma; ++c)
+                best = std::max(best, data[j * sigma + c]);
+            acc += best;
+            max_prefix[j + 1] = acc;
+        }
+    }
+    float bound(int64_t start, int64_t len) const {
+        return max_prefix[start + len] - max_prefix[start];
+    }
+};
+
+class Enumerator {
+  public:
+    Enumerator(const Matrix& m, int64_t k, int bits)
+        : m_(m), k_(k), bits_(bits) {}
+
+    // survivors of the window starting at absolute column w
+    std::vector<Survivor> run(int64_t w, float eps) {
+        w_ = w;
+        return solve(0, k_, eps);
+    }
+
+  private:
+    std::vector<Survivor> solve(int64_t j, int64_t h, float eps) {
+        std::vector<Survivor> out;
+        if (h == 1) {
+            const float* col = m_.data + (w_ + j) * m_.sigma;
+            for (int64_t c = 0; c < m_.sigma; ++c)
+                if (col[c] > eps) out.emplace_back(c, col[c]);
+            return out;
+        }
+        const int64_t hl = h / 2, hr = h - hl;
+        const float eps_left = eps - m_.bound(w_ + j + hl, hr);
+        const float eps_right = eps - m_.bound(w_ + j, hl);
+        auto left = solve(j, hl, eps_left);
+        auto right = solve(j + hl, hr, eps_right);
+        if (left.empty() || right.empty()) return out;
+
+        // sort whichever side is smaller, descending by score, and pair with
+        // early break once the combined score falls under eps
+        const bool sort_left = left.size() < right.size();
+        auto& small = sort_left ? left : right;
+        auto& large = sort_left ? right : left;
+        std::sort(small.begin(), small.end(),
+                  [](const Survivor& a, const Survivor& b) {
+                      return a.second > b.second;
+                  });
+        const int shift = static_cast<int>(hr) * bits_;
+        for (const auto& [a_code, a_score] : large) {
+            for (const auto& [b_code, b_score] : small) {
+                const float total = a_score + b_score;
+                if (total <= eps) break;
+                const uint64_t code = sort_left
+                    ? (b_code << shift) | a_code
+                    : (a_code << shift) | b_code;
+                out.emplace_back(code, total);
+            }
+        }
+        return out;
+    }
+
+    const Matrix& m_;
+    int64_t k_, w_;
+    int bits_;
+};
+
+}  // namespace
+
+int main() {
+    int64_t G, S, sigma, k;
+    float eps;
+    if (std::fread(&G, 8, 1, stdin) != 1 || std::fread(&S, 8, 1, stdin) != 1 ||
+        std::fread(&sigma, 8, 1, stdin) != 1 ||
+        std::fread(&k, 8, 1, stdin) != 1 ||
+        std::fread(&eps, 4, 1, stdin) != 1) {
+        std::fprintf(stderr, "bad header\n");
+        return 1;
+    }
+    std::vector<float> all(static_cast<size_t>(G) * S * sigma);
+    if (std::fread(all.data(), 4, all.size(), stdin) != all.size()) {
+        std::fprintf(stderr, "bad payload\n");
+        return 1;
+    }
+    int bits = 1;
+    while ((1 << bits) < sigma) ++bits;
+
+    const auto t0 = std::chrono::steady_clock::now();
+    size_t tuples = 0, entries = 0;
+    std::unordered_map<uint64_t, float> group_map;
+    for (int64_t g = 0; g < G; ++g) {
+        if (g % 2 == 0) group_map.clear();  // two ghosts per group
+        Matrix m{all.data() + g * S * sigma, S, sigma, {}};
+        m.build_prefix();
+        Enumerator en(m, k, bits);
+        for (int64_t w = 0; w + k <= S; ++w) {
+            for (const auto& [code, score] : en.run(w, eps)) {
+                auto [it, inserted] = group_map.try_emplace(code, score);
+                if (!inserted && it->second < score) it->second = score;
+                ++tuples;
+            }
+        }
+        if (g % 2 == 1) entries += group_map.size();
+    }
+    const auto t1 = std::chrono::steady_clock::now();
+    const double ms =
+        std::chrono::duration<double, std::milli>(t1 - t0).count();
+    std::printf("{\"tuples\": %zu, \"ms\": %.3f, \"entries\": %zu}\n", tuples,
+                ms, entries);
+    return 0;
+}
