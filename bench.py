@@ -45,26 +45,37 @@ def make_workload(seed=7):
 
 
 def run_tpu(P_all):
-    from ipk_tpu.core import dense
+    """Stage-1 wall time on the fused Pallas path (halves + VMEM-resident
+    combine/max kernel). The host transfer of the per-ghost counts is kept
+    inside the timed region: the experimental tunnel platform's
+    block_until_ready is not a reliable completion barrier."""
+    import functools
     import jax
+    from ipk_tpu.core import dense
+    from ipk_tpu.core.pallas_kernels import combine_max
 
     prefix_all = dense.best_score_prefix(P_all)
     eps = np.float32(np.log10((OMEGA / SIGMA) ** K))
-    fn = lambda P, pre: dense.accumulate_ghosts(
-        P, pre, eps, k=K, sigma=SIGMA, block_w=16, with_count=True)
-    # warmup/compile
-    A, counts = fn(P_all[:2], prefix_all[:2])
-    jax.block_until_ready((A, counts))
+    halves = jax.jit(jax.vmap(
+        functools.partial(dense.masked_halves, k=K, sigma=SIGMA),
+        in_axes=(0, 0, None)))
+
+    def stage1(P_dev, pre_dev):
+        L, R = halves(P_dev, pre_dev, eps)
+        A, counts = combine_max(L, R, eps, block_w=32, with_count=True,
+                                interpret=False)
+        return A, np.asarray(counts)
 
     P_dev = jax.device_put(P_all)
     pre_dev = jax.device_put(prefix_all)
-    jax.block_until_ready((P_dev, pre_dev))
-    t0 = time.monotonic()
-    A, counts = fn(P_dev, pre_dev)
-    jax.block_until_ready((A, counts))
-    elapsed = time.monotonic() - t0
-    tuples = int(np.asarray(counts).astype(np.int64).sum())
-    return tuples, elapsed
+    stage1(P_dev, pre_dev)  # warmup/compile
+    best, counts = 1e18, None
+    for _ in range(3):
+        t0 = time.monotonic()
+        _, counts = stage1(P_dev, pre_dev)
+        best = min(best, time.monotonic() - t0)
+    tuples = int(counts.astype(np.int64).sum())
+    return tuples, best
 
 
 def run_baseline(P_all):

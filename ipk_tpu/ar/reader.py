@@ -20,13 +20,79 @@ one tab-separated row per (node, site): ``Node  Site  State  p_1 ... p_sigma``.
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+import ctypes
+import os
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 from ..seq import SeqTraits, DNA, AA
 
 __all__ = ["read_ancestral_probs", "RAXML_AA_ORDER", "aa_permutation"]
+
+_NATIVE_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native",
+    "libprobs_parser.so")
+_native_lib = None
+
+
+def _load_native() -> Optional[ctypes.CDLL]:
+    """The C++ mmap/from_chars parser (native/probs_parser.cpp); falls back
+    to the pure-Python parser when the shared library is not built."""
+    global _native_lib
+    if _native_lib is not None:
+        return _native_lib
+    if not os.path.exists(_NATIVE_PATH) or os.environ.get("IPK_TPU_NO_NATIVE"):
+        return None
+    lib = ctypes.CDLL(_NATIVE_PATH)
+    lib.ipk_probs_parse.restype = ctypes.c_void_p
+    lib.ipk_probs_parse.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    lib.ipk_probs_error.restype = ctypes.c_char_p
+    lib.ipk_probs_num_labels.restype = ctypes.c_int64
+    lib.ipk_probs_num_labels.argtypes = [ctypes.c_void_p]
+    lib.ipk_probs_num_values.restype = ctypes.c_int64
+    lib.ipk_probs_num_values.argtypes = [ctypes.c_void_p]
+    lib.ipk_probs_labels.restype = ctypes.c_char_p
+    lib.ipk_probs_labels.argtypes = [ctypes.c_void_p]
+    lib.ipk_probs_rows_per_label.restype = ctypes.POINTER(ctypes.c_int64)
+    lib.ipk_probs_rows_per_label.argtypes = [ctypes.c_void_p]
+    lib.ipk_probs_data.restype = ctypes.POINTER(ctypes.c_float)
+    lib.ipk_probs_data.argtypes = [ctypes.c_void_p]
+    lib.ipk_probs_free.argtypes = [ctypes.c_void_p]
+    _native_lib = lib
+    return lib
+
+
+def _read_native(filename: str, sigma: int
+                 ) -> Optional[Tuple[Dict[str, int], np.ndarray]]:
+    lib = _load_native()
+    if lib is None:
+        return None
+    handle = lib.ipk_probs_parse(filename.encode(), sigma)
+    if not handle:
+        raise RuntimeError(
+            f"Failed to parse {filename}: "
+            f"{lib.ipk_probs_error().decode()}")
+    try:
+        n_labels = lib.ipk_probs_num_labels(handle)
+        n_values = lib.ipk_probs_num_values(handle)
+        labels = lib.ipk_probs_labels(handle).decode().split("\n")
+        rows = np.ctypeslib.as_array(lib.ipk_probs_rows_per_label(handle),
+                                     shape=(n_labels,))
+        counts = set(rows.tolist())
+        if len(counts) != 1:
+            raise RuntimeError(
+                f"Node blocks of unequal width in {filename}: "
+                f"{sorted(counts)}")
+        S = counts.pop()
+        if n_values != n_labels * S * sigma:
+            raise RuntimeError(f"Malformed probabilities in {filename}")
+        flat = np.ctypeslib.as_array(lib.ipk_probs_data(handle),
+                                     shape=(n_values,)).copy()
+        probs = flat.reshape(n_labels, S, sigma)
+        return {label: i for i, label in enumerate(labels)}, probs
+    finally:
+        lib.ipk_probs_free(handle)
 
 #: raxml-ng's amino-acid column order in .raxml.ancestralProbs (``ar.cpp:227``).
 RAXML_AA_ORDER = "ARNDCQEGHILKMFPSTWYV"
@@ -46,8 +112,19 @@ def read_ancestral_probs(filename: str, traits: SeqTraits = DNA,
     Returns (node_label -> row index, P[num_nodes, S, sigma] f32 log10).
     All node blocks must have the same number of sites (true by construction:
     raxml-ng emits every alignment site for every internal node).
+
+    Uses the native mmap parser when built (native/libprobs_parser.so),
+    otherwise a pure-Python fallback.
     """
     sigma = traits.alphabet_size
+    native = _read_native(filename, sigma)
+    if native is not None:
+        label_rows, probs = native
+        if traits.alphabet_size == 20:
+            probs = probs[:, :, aa_permutation()]
+        with np.errstate(divide="ignore"):
+            return label_rows, np.log10(probs, dtype=np.float32)
+
     labels: List[str] = []
     label_rows: Dict[str, int] = {}
     prob_chunks: List[np.ndarray] = []

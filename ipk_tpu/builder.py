@@ -4,38 +4,52 @@ Counterpart of ``ipk/src/db_builder.cpp`` (layer L3, SURVEY.md §1/§3). The
 reference's three stages map as follows:
 
 * stage 1 (``explore_kmers``/``explore_group``: per-branch windows → DCLA →
-  hash maps) → one batched device computation:
-  ``accumulate_ghosts`` + ``group_max`` over the dense [G, S, σ] posterior
-  tensor, producing the dense per-branch accumulator A[B, σ^k]
-  (see ``ipk_tpu.core.dense``).
-* stage 2 (filtering, ``filter_in_ram``) → vectorized mif0/random filter over
-  the accumulator + ascending sort (``ipk_tpu.core.filter``).
-* stage 3 (serialization) → streaming ``.ipk`` writer in filter order
-  (``ipk_tpu.serialize``).
+  hash maps) → one batched device computation: masked half-window tensors
+  (``dense.masked_halves``) + the fused combine/max kernel
+  (``pallas_kernels.combine_max`` on TPU, ``dense.combine_max_jnp`` on CPU),
+  producing the dense per-branch accumulator A[B, σ^k].
+* k-mer-space batching (the reference's ``key % 32`` hash-map spill,
+  ``branch_group.cpp:104-107``, ``db_builder.cpp:137``) → contiguous slices of
+  the half-tensor's prefix axis: batch b covers dense keys
+  [lo·σ^hr, hi·σ^hr). This bounds device and host memory for large k.
+* stage 2 (filtering) → vectorized mif0/random filter per batch
+  (``ipk_tpu.core.filter``; per-key math is batch-independent).
+* stage 3 (serialization) → in-RAM: global ascending (fv, key) sort and one
+  streaming write; ``--on-disk``: per-batch sorted temp DBs under
+  ``<workdir>/hashmaps/`` + a heap k-way merge into the output archive
+  (mirroring ``merge_stage1``/``merge_stage2``, ``db_builder.cpp:340-458``),
+  with the temp dir removed afterwards (``db_builder.cpp:213``).
 
 Semantic invariants honored (SURVEY.md §7.1): strict ``score > (ω/σ)^k`` in
 log10; per-(k-mer, branch) max over ghosts and windows; branch ids = original
 postorder ids (root excluded); entry order per k-mer = group processing order
-(first-ghost extended-postorder); DB sorted ascending by filter value.
+(first-ghost extended-postorder); DB sorted ascending by filter value; aa-pos
+variant stores the best window's start position with earliest-window
+tie-breaking (``branch_group.cpp:73-86``).
 """
 
 from __future__ import annotations
 
+import functools
+import heapq
+import os
+import shutil
 import time
-from typing import Dict, List, Optional
+from typing import Dict, Iterator, List, Optional, Tuple
 
+import jax
 import numpy as np
 
 from .seq import SeqTraits, dense_index_to_key
-from .tree import PhyloTree
+from .tree import PhyloTree, to_newick
 from .db import PhyloKmerDB
 from .core import dense
-from .core.filter import (mif0_filter_values, random_filter_values,
-                          score_threshold, sort_order)
+from .core.filter import (RandomFilterStream, mif0_filter_values,
+                          score_threshold)
 from .ar.mapping import gather_ghost_tensor, ghost_groups
 from . import serialize
 
-__all__ = ["build", "BuildResult", "log_threshold_f32", "extract_db_arrays"]
+__all__ = ["build", "BuildResult", "log_threshold_f32", "choose_backend"]
 
 
 def log_threshold_f32(omega: float, sigma: int, k: int) -> np.float32:
@@ -44,73 +58,131 @@ def log_threshold_f32(omega: float, sigma: int, k: int) -> np.float32:
     return np.float32(np.log10(score_threshold(omega, sigma, k)))
 
 
+def choose_backend() -> str:
+    """'pallas' on TPU, 'jnp' elsewhere (override: IPK_TPU_BACKEND)."""
+    forced = os.environ.get("IPK_TPU_BACKEND")
+    if forced:
+        return forced
+    return "pallas" if jax.devices()[0].platform == "tpu" else "jnp"
+
+
+def pick_key_batches(B: int, nl: int, nr: int,
+                     budget_bytes: int = 2 << 30) -> int:
+    """Number of prefix-axis batches so each A batch fits the budget."""
+    total = B * nl * nr * 4
+    batches = max(1, -(-total // budget_bytes))
+    while nl % batches != 0:  # contiguous equal slices of the prefix axis
+        batches += 1
+    return min(batches, nl)
+
+
 class BuildResult:
-    def __init__(self, db: PhyloKmerDB, num_explored: int, timings: Dict[str, float]):
+    def __init__(self, db: PhyloKmerDB, num_explored: int,
+                 timings: Dict[str, float]):
         self.db = db
         self.num_explored = num_explored
         self.timings = timings
 
 
-def extract_db_arrays(A: np.ndarray, group_ids: List[int], k: int,
-                      traits: SeqTraits, total_num_groups: int,
-                      omega: float, filter_type: str = "mif0",
-                      merge_branches: bool = False):
-    """Dense accumulator → sorted DB arrays.
+# ---------------------------------------------------------------------------
+# stage 1: enumeration (batched over the key space)
+# ---------------------------------------------------------------------------
 
-    A: [B, sigma^k] f32 (−inf where pruned); group_ids: original postorder id
-    per accumulator row, in group processing order.
-    Returns (keys, filter_values, offsets, branches, scores).
-    """
-    sigma = traits.alphabet_size
+def _enumerate_batches(P_all: np.ndarray, prefix_all: np.ndarray, *,
+                       k: int, sigma: int, eps: np.float32,
+                       ghosts_per_group: int, key_batches: int,
+                       backend: str, block_w: int, keep_positions: bool,
+                       ) -> Iterator[Tuple[int, np.ndarray, Optional[np.ndarray]]]:
+    """Yield (dense_key_lo, A[B, chunk], pos[B, chunk] or None) per batch."""
+    hl = k // 2
+    hr = k - hl
+    nl, nr = sigma ** hl, sigma ** hr
+    halves = jax.jit(jax.vmap(
+        functools.partial(dense.masked_halves, k=k, sigma=sigma),
+        in_axes=(0, 0, None)))
+    L, R = halves(P_all, prefix_all, eps)
+    L, R = jax.block_until_ready((L, R))
+
+    step = nl // key_batches
+    for b in range(key_batches):
+        Lb = jax.lax.slice_in_dim(L, b * step, (b + 1) * step, axis=2)
+        if keep_positions:
+            A_g, pos_g = dense.combine_max_with_positions(
+                Lb, R, eps, block_w=block_w)
+            A_g = A_g.reshape(A_g.shape[0], -1)
+            pos_g = pos_g.reshape(pos_g.shape[0], -1)
+            A, pos = dense.group_max_with_positions(A_g, pos_g,
+                                                   ghosts_per_group)
+            yield b * step * nr, np.asarray(A), np.asarray(pos)
+        else:
+            if backend == "pallas":
+                from .core.pallas_kernels import combine_max
+                A_g = combine_max(Lb, R, eps, block_w=max(block_w, 64))
+            else:
+                A_g = dense.combine_max_jnp(Lb, R, eps, block_w=block_w)
+            A_g = A_g.reshape(A_g.shape[0], -1)
+            A = dense.group_max(A_g, ghosts_per_group)
+            yield b * step * nr, np.asarray(A), None
+
+
+# ---------------------------------------------------------------------------
+# stage 2: extraction + filtering (per batch)
+# ---------------------------------------------------------------------------
+
+def _extract_batch(A: np.ndarray, lo: int, pos: Optional[np.ndarray],
+                   group_ids: List[int], k: int, traits: SeqTraits,
+                   total_num_groups: int, threshold: float,
+                   filter_type: str, rng_stream: Optional[RandomFilterStream],
+                   merge_branches: bool):
+    """Dense batch → (keys, fv, counts, branches, scores, positions)."""
     mask = np.isfinite(A)
-
     if merge_branches:
-        # keep only the best branch per k-mer (``--merge-branches``,
-        # ``ipk.py:162-167``): one entry, max score over branches
         best_b = A.argmax(axis=0)
-        best_mask = np.zeros_like(mask)
         cols_any = mask.any(axis=0)
+        best_mask = np.zeros_like(mask)
         best_mask[best_b[cols_any], np.flatnonzero(cols_any)] = True
         mask = best_mask
 
     present = mask.any(axis=0)
     cols = np.flatnonzero(present)
-    keys = dense_index_to_key(cols.astype(np.uint64), k, traits)
+    keys = dense_index_to_key(cols.astype(np.uint64) + np.uint64(lo),
+                              k, traits)
 
-    # entries in (key-major, group-order) layout
-    MT = mask[:, cols].T  # [Kp, B]
+    MT = mask[:, cols].T
     key_rows, branch_rows = np.nonzero(MT)
     counts = MT.sum(axis=1)
-    offsets = np.zeros(len(cols) + 1, dtype=np.int64)
-    np.cumsum(counts, out=offsets[1:])
-    branch_ids = np.asarray(group_ids, dtype=np.uint32)[branch_rows]
+    branches = np.asarray(group_ids, dtype=np.uint32)[branch_rows]
     scores = A[branch_rows, cols[key_rows]].astype(np.float32)
+    positions = (pos[branch_rows, cols[key_rows]].astype(np.uint32)
+                 if pos is not None else None)
 
-    threshold = score_threshold(omega, sigma, k)
     if filter_type == "mif0":
-        fv_all = mif0_filter_values(A, mask, total_num_groups, threshold)
-        fv = fv_all[cols]
+        fv = mif0_filter_values(A, mask, total_num_groups, threshold)[cols]
     elif filter_type == "random":
-        # assigned in ascending-key order (documented deviation: the
-        # reference uses hash-map iteration order, filter.cpp:140)
-        fv = random_filter_values(len(cols)).astype(np.float64)
+        fv = rng_stream.take(len(cols)).astype(np.float64)
     else:
         raise RuntimeError("Error: Unsupported filter type.")
+    return keys, fv, counts, branches, scores, positions
 
-    order = sort_order(fv, keys)
 
-    # reorder keys and entry ranges by filter order
-    new_keys = keys[order]
-    new_fv = fv[order].astype(np.float32)
-    new_counts = counts[order]
-    new_offsets = np.zeros(len(cols) + 1, dtype=np.int64)
-    np.cumsum(new_counts, out=new_offsets[1:])
-    gather = np.concatenate(
-        [np.arange(offsets[i], offsets[i + 1]) for i in order]
-    ) if len(order) else np.zeros(0, dtype=np.int64)
-    return (new_keys, new_fv, new_offsets,
-            branch_ids[gather], scores[gather])
+def _sort_batch(keys, fv, counts, branches, scores, positions):
+    """Reorder one batch's arrays ascending by (fv, key)."""
+    order = np.lexsort((keys, fv))
+    offsets = np.zeros(len(keys) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    gather = (np.concatenate([np.arange(offsets[i], offsets[i + 1])
+                              for i in order])
+              if len(order) else np.zeros(0, dtype=np.int64))
+    new_offsets = np.zeros(len(keys) + 1, dtype=np.int64)
+    np.cumsum(counts[order], out=new_offsets[1:])
+    return (keys[order], fv[order], new_offsets, branches[gather],
+            scores[gather],
+            None if positions is None else positions[gather])
 
+
+# ---------------------------------------------------------------------------
+# the build
+# ---------------------------------------------------------------------------
 
 def build(original_tree: PhyloTree,
           extended_tree: PhyloTree,
@@ -125,9 +197,13 @@ def build(original_tree: PhyloTree,
           filter_type: str = "mif0",
           ghost_strategy: str = "both",
           merge_branches: bool = False,
+          keep_positions: bool = False,
           output_filename: Optional[str] = None,
           uncompressed: bool = False,
-          on_device: bool = True,
+          on_disk: bool = False,
+          working_dir: str = "",
+          key_batches: Optional[int] = None,
+          backend: Optional[str] = None,
           block_w: int = 32,
           verbose: int = 1) -> BuildResult:
     """Run the full stage-1..3 build (cf. ``db_builder::run``,
@@ -136,55 +212,134 @@ def build(original_tree: PhyloTree,
     if kmer_size > traits.max_kmer_length:
         raise RuntimeError(
             f"Maximum k-mer size allowed: {traits.max_kmer_length}")
+    if on_disk and keep_positions:
+        # parity with the reference (throw_if_positions, db_builder.cpp:247-252)
+        raise RuntimeError("Positions are not supported in this version")
+    backend = backend or choose_backend()
     timings: Dict[str, float] = {}
 
     if verbose > 0:
         print("Computation parameters:")
         print(f"\tsequence type: {traits.name}")
         print(f"\tk: {kmer_size}")
-        print(f"\tomega: {omega}\n")
+        print(f"\tomega: {omega}")
+        print(f"\ton disk: {on_disk}")
+        print(f"\tkeep positions: {keep_positions}")
+        print(f"\tbackend: {backend}\n")
 
-    from .tree import to_newick
-    db = PhyloKmerDB(kmer_size, omega, traits.name,
-                     to_newick(original_tree),
+    db = PhyloKmerDB(kmer_size, omega, traits.name, to_newick(original_tree),
                      original_tree.tree_index())
 
-    # ---- stage 1: dense enumeration --------------------------------------
+    # ---- stage 1 inputs ---------------------------------------------------
     t0 = time.monotonic()
     groups, group_ids = ghost_groups(extended_tree, original_tree,
                                      ghost_mapping, ghost_strategy)
     P_all = gather_ghost_tensor(groups, ar_mapping, label_rows, P)
+    P_all = np.asarray(P_all, dtype=np.float32)
     prefix_all = dense.best_score_prefix(P_all)
     eps = log_threshold_f32(omega, sigma, kmer_size)
-    A_ghost = dense.accumulate_ghosts(
-        np.asarray(P_all, dtype=np.float32), prefix_all, eps,
-        k=kmer_size, sigma=sigma, block_w=block_w)
-    A = np.asarray(dense.group_max(A_ghost, len(groups[0]) if groups else 1))
+    ghosts_per_group = len(groups[0]) if groups else 1
+
+    hl = kmer_size // 2
+    nl, nr = sigma ** hl, sigma ** (kmer_size - hl)
+    if key_batches is None:
+        key_batches = pick_key_batches(len(groups), nl, nr)
+    threshold = score_threshold(omega, sigma, kmer_size)
+    rng_stream = RandomFilterStream() if filter_type == "random" else None
+
+    batches = _enumerate_batches(
+        P_all, prefix_all, k=kmer_size, sigma=sigma, eps=eps,
+        ghosts_per_group=ghosts_per_group, key_batches=key_batches,
+        backend=backend, block_w=block_w, keep_positions=keep_positions)
+
+    # ---- stages 2+3 -------------------------------------------------------
+    num_explored = 0
+    parts = []
+    temp_files: List[str] = []
+    hashmaps_dir = os.path.join(working_dir or ".", "hashmaps")
+    if on_disk:
+        os.makedirs(hashmaps_dir, exist_ok=True)
+
+    for batch_idx, (lo, A, pos) in enumerate(batches):
+        num_explored += int(np.isfinite(A).sum())
+        part = _extract_batch(A, lo, pos, group_ids, kmer_size, traits,
+                              original_tree.get_node_count(), threshold,
+                              filter_type, rng_stream, merge_branches)
+        if on_disk:
+            keys, fv, offsets, branches, scores, positions = _sort_batch(*part)
+            temp_db = PhyloKmerDB(kmer_size, omega, traits.name, "", [])
+            temp_db.set_data(keys, fv.astype(np.float32), offsets, branches,
+                             scores, positions)
+            name = os.path.join(hashmaps_dir, f"{batch_idx}.ipk")
+            serialize.save(temp_db, name, compressed=False)
+            temp_files.append(name)
+        else:
+            parts.append(part)
     timings["computation"] = time.monotonic() - t0
     if verbose > 0:
         print(f"Computation time: {timings['computation']*1e3:.0f} ms")
 
-    # ---- stage 2: filter + sort ------------------------------------------
     t0 = time.monotonic()
-    keys, fv, offsets, branches, scores = extract_db_arrays(
-        A, group_ids, kmer_size, traits,
-        total_num_groups=original_tree.get_node_count(),
-        omega=omega, filter_type=filter_type, merge_branches=merge_branches)
-    db.set_data(keys, fv, offsets, branches, scores)
-    timings["filtering"] = time.monotonic() - t0
-    if verbose > 0:
-        print(f"Filtering time: {timings['filtering']*1e3:.0f} ms")
+    if on_disk:
+        _merge_on_disk(db, temp_files, output_filename, uncompressed)
+        shutil.rmtree(hashmaps_dir, ignore_errors=True)
+        if output_filename:
+            loaded = serialize.load(output_filename)
+            db.set_data(loaded.keys, loaded.filter_values, loaded.offsets,
+                        loaded.branches, loaded.scores, loaded.positions)
+    else:
+        keys = np.concatenate([p[0] for p in parts]) if parts else np.zeros(0, np.uint64)
+        fv = np.concatenate([p[1] for p in parts]) if parts else np.zeros(0)
+        counts = np.concatenate([p[2] for p in parts]) if parts else np.zeros(0, np.int64)
+        branches = np.concatenate([p[3] for p in parts]) if parts else np.zeros(0, np.uint32)
+        scores = np.concatenate([p[4] for p in parts]) if parts else np.zeros(0, np.float32)
+        positions = (np.concatenate([p[5] for p in parts])
+                     if parts and parts[0][5] is not None else None)
+        keys, fv, offsets, branches, scores, positions = _sort_batch(
+            keys, fv, counts, branches, scores, positions)
+        db.set_data(keys, fv.astype(np.float32), offsets, branches, scores,
+                    positions)
+        if output_filename:
+            serialize.save(db, output_filename, compressed=not uncompressed)
+    timings["filter_merge"] = time.monotonic() - t0
 
-    # ---- stage 3: serialize ----------------------------------------------
-    t0 = time.monotonic()
-    if output_filename:
-        serialize.save(db, output_filename, compressed=not uncompressed)
-    timings["merge"] = time.monotonic() - t0
     if verbose > 0:
-        print(f"Merge time: {timings['merge']*1e3:.0f} ms")
+        print(f"Filtering and merge time: {timings['filter_merge']*1e3:.0f} ms")
         print("Building database: Done.")
         if output_filename:
             print(f"Output: {output_filename}")
-
-    num_explored = int(np.isfinite(A).sum())
     return BuildResult(db, num_explored, timings)
+
+
+def _merge_on_disk(db: PhyloKmerDB, temp_files: List[str],
+                   output_filename: Optional[str], uncompressed: bool) -> None:
+    """Heap k-way merge of sorted batch DBs into the output archive
+    (``merge_stage2``, ``db_builder.cpp:392-458``): batches are key-disjoint
+    and internally sorted by (fv, key), so a heap over cursors yields the
+    global order."""
+    if not output_filename:
+        raise RuntimeError("--on-disk requires an output filename")
+    loaders = [serialize.BatchLoader(f) for f in temp_files]
+    total_kmers = sum(l.get_num_kmers() for l in loaders)
+    total_entries = 0
+    heap = []
+    for i, loader in enumerate(loaders):
+        total_entries += int(loader._db.num_entries())
+        if loader.has_next():
+            loader.next()
+            key, fv, *_ = loader.current_arrays
+            heap.append((float(fv), int(key), i))
+    heapq.heapify(heap)
+
+    with serialize.IpkWriter(output_filename,
+                             compressed=not uncompressed) as w:
+        w.write_header(db, total_kmers, total_entries)
+        while heap:
+            _, _, i = heapq.heappop(heap)
+            loader = loaders[i]
+            key, fv, branches, scores, positions = loader.current_arrays
+            w.write_kmer(int(key), float(fv), branches, scores, positions)
+            if loader.has_next():
+                loader.next()
+                nkey, nfv, *_ = loader.current_arrays
+                heapq.heappush(heap, (float(nfv), int(nkey), i))

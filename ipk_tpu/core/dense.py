@@ -143,6 +143,64 @@ def score_window_block(P: jnp.ndarray, prefix: jnp.ndarray, w0, *, k: int,
     return scores[(0, k)]
 
 
+def masked_span_scores(P: jnp.ndarray, prefix: jnp.ndarray, j: int, h: int,
+                       eps: jnp.ndarray, *, k: int, sigma: int) -> jnp.ndarray:
+    """Masked sub-window scores for span (j, h) at every window offset.
+
+    P: [S, sigma]; eps: [W] per-window thresholds for this span (threaded down
+    the split tree exactly as ``pk_compute.cpp:54-55``). Returns [W, sigma^h]
+    f32 with pruned candidates at -inf. The recursion matches DCLA's split
+    (h//2, h-h//2) so sums are bit-identical.
+    """
+    W = P.shape[0] - k + 1
+
+    def range_max(start_rel: int, length: int) -> jnp.ndarray:
+        return (jax.lax.dynamic_slice(prefix, (start_rel + length,), (W,))
+                - jax.lax.dynamic_slice(prefix, (start_rel,), (W,)))
+
+    if h == 1:
+        T = jax.lax.dynamic_slice(P, (j, 0), (W, sigma))
+    else:
+        hl = h // 2
+        hr = h - hl
+        eps_l = eps - range_max(j + hl, hr)
+        eps_r = eps - range_max(j, hl)
+        Tl = masked_span_scores(P, prefix, j, hl, eps_l, k=k, sigma=sigma)
+        Tr = masked_span_scores(P, prefix, j + hl, hr, eps_r, k=k, sigma=sigma)
+        T = (Tl[:, :, None] + Tr[:, None, :]).reshape(W, -1)
+    return jnp.where(T > eps[:, None], T, NEG_INF)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "sigma"))
+def masked_halves(P: jnp.ndarray, prefix: jnp.ndarray, log_threshold,
+                  *, k: int, sigma: int):
+    """Masked half-window scores (L[W, sigma^(k//2)], R[W, sigma^(k-k//2)]).
+
+    The top-level combine ``score = L + R`` with the *constant* threshold
+    ``log_threshold`` then yields exactly :func:`score_window_block`'s output —
+    per-window eps variation exists only below the halves. This factorization
+    is what the fused Pallas kernel exploits: the O(sigma^k) combine reads
+    only these two small tensors.
+    """
+    W = P.shape[0] - k + 1
+    hl = k // 2
+    hr = k - hl
+    eps_top = jnp.full((W,), log_threshold, dtype=jnp.float32)
+
+    def range_max(start_rel, length):
+        return (jax.lax.dynamic_slice(prefix, (start_rel + length,), (W,))
+                - jax.lax.dynamic_slice(prefix, (start_rel,), (W,)))
+
+    if k == 1:
+        L = masked_span_scores(P, prefix, 0, 1, eps_top, k=k, sigma=sigma)
+        return L, jnp.zeros((W, 1), dtype=jnp.float32)
+    eps_l = eps_top - range_max(hl, hr)
+    eps_r = eps_top - range_max(0, hl)
+    L = masked_span_scores(P, prefix, 0, hl, eps_l, k=k, sigma=sigma)
+    R = masked_span_scores(P, prefix, hl, hr, eps_r, k=k, sigma=sigma)
+    return L, R
+
+
 @functools.partial(jax.jit,
                    static_argnames=("k", "sigma", "block_w", "with_count"))
 def accumulate_matrix(P: jnp.ndarray, prefix: jnp.ndarray, log_threshold,
@@ -204,6 +262,94 @@ def accumulate_ghosts(P_all: jnp.ndarray, prefix_all: jnp.ndarray,
     fn = functools.partial(accumulate_matrix, k=k, sigma=sigma,
                            block_w=block_w, with_count=with_count)
     return jax.vmap(fn, in_axes=(0, 0, None))(P_all, prefix_all, log_threshold)
+
+
+@functools.partial(jax.jit, static_argnames=("block_w",))
+def combine_max_jnp(L: jnp.ndarray, R: jnp.ndarray, log_threshold,
+                    *, block_w: int = 16) -> jnp.ndarray:
+    """XLA fallback of the fused Pallas combine (same contract as
+    ``pallas_kernels.combine_max``): A[g] = max_w mask(L[g,w] ⊕ R[g,w]).
+
+    L: [G, W, nl], R: [G, W, nr] → [G, nl, nr]. Used on CPU and for key-range
+    batched builds on any backend (a key batch is a slice of L's last axis).
+    """
+    G, W, nl = L.shape
+    nr = R.shape[2]
+    bw = min(block_w, W)
+    num_blocks = -(-W // bw)
+    eps = jnp.asarray(log_threshold, dtype=jnp.float32)
+
+    def per_ghost(Lg, Rg):
+        def body(i, A):
+            w0 = jnp.minimum(i * bw, W - bw)
+            Lb = jax.lax.dynamic_slice(Lg, (w0, 0), (bw, nl))
+            Rb = jax.lax.dynamic_slice(Rg, (w0, 0), (bw, nr))
+            T = Lb[:, :, None] + Rb[:, None, :]
+            T = jnp.where(T > eps, T, NEG_INF)
+            return jnp.maximum(A, T.max(axis=0))
+
+        A0 = (jnp.full((nl, nr), NEG_INF, dtype=jnp.float32)
+              + Lg[:0, 0].sum().astype(jnp.float32))
+        return jax.lax.fori_loop(0, num_blocks, body, A0)
+
+    return jax.vmap(per_ghost)(L, R)
+
+
+@functools.partial(jax.jit, static_argnames=("block_w",))
+def combine_max_with_positions(L: jnp.ndarray, R: jnp.ndarray, log_threshold,
+                               *, block_w: int = 16):
+    """Like :func:`combine_max_jnp` but also tracks the window start position
+    of each candidate's best score (the aa-pos variant: the reference stores
+    ``window.get_position()``, ``db_builder.cpp:655-659``).
+
+    Tie-breaking matches ``put`` (``branch_group.cpp:73-86``): strictly
+    greater replaces, so the earliest window wins ties (windows ascending).
+    Returns (A[G, nl, nr], pos[G, nl, nr] int32).
+    """
+    G, W, nl = L.shape
+    nr = R.shape[2]
+    bw = min(block_w, W)
+    num_blocks = -(-W // bw)
+    eps = jnp.asarray(log_threshold, dtype=jnp.float32)
+
+    def per_ghost(Lg, Rg):
+        def body(i, carry):
+            A, pos = carry
+            w0 = jnp.minimum(i * bw, W - bw)
+            Lb = jax.lax.dynamic_slice(Lg, (w0, 0), (bw, nl))
+            Rb = jax.lax.dynamic_slice(Rg, (w0, 0), (bw, nr))
+            T = Lb[:, :, None] + Rb[:, None, :]
+            T = jnp.where(T > eps, T, NEG_INF)
+            # overlap windows (clamped tail) rescore identically; argmax picks
+            # the first occurrence, preserving earliest-window tie-breaking
+            Tmax = T.max(axis=0)
+            Targ = (w0 + T.argmax(axis=0)).astype(jnp.int32)
+            better = Tmax > A
+            return (jnp.where(better, Tmax, A),
+                    jnp.where(better, Targ, pos))
+
+        zero = Lg[:0, 0].sum().astype(jnp.float32)
+        A0 = jnp.full((nl, nr), NEG_INF, dtype=jnp.float32) + zero
+        p0 = jnp.zeros((nl, nr), dtype=jnp.int32) + zero.astype(jnp.int32)
+        return jax.lax.fori_loop(0, num_blocks, body, (A0, p0))
+
+    return jax.vmap(per_ghost)(L, R)
+
+
+def group_max_with_positions(A_ghost: jnp.ndarray, pos_ghost: jnp.ndarray,
+                             ghosts_per_group: int):
+    """Ghost merge with strict-greater position tie-breaking: the first ghost
+    in group order (X1 before X0, extended postorder) wins ties."""
+    G, K = A_ghost.shape
+    B = G // ghosts_per_group
+    A = A_ghost.reshape(B, ghosts_per_group, K)
+    pos = pos_ghost.reshape(B, ghosts_per_group, K)
+    best_A, best_pos = A[:, 0], pos[:, 0]
+    for g in range(1, ghosts_per_group):
+        better = A[:, g] > best_A
+        best_A = jnp.where(better, A[:, g], best_A)
+        best_pos = jnp.where(better, pos[:, g], best_pos)
+    return best_A, best_pos
 
 
 def group_max(A_ghost: jnp.ndarray, ghosts_per_group: int) -> jnp.ndarray:

@@ -120,6 +120,31 @@ def random_filter_values(num_keys: int, seed: int = 42) -> np.ndarray:
     return minstd0_uniform_stream(num_keys, seed).astype(np.float32)
 
 
+class RandomFilterStream:
+    """Stateful random-filter stream for batched builds: values continue the
+    same minstd_rand0(42) sequence across key batches, so batch decomposition
+    does not change the assigned values (keys are processed in ascending
+    order globally)."""
+
+    def __init__(self, seed: int = 42):
+        self._x = np.uint64(seed)
+        self._m = np.uint64(2147483647)
+        self._a = np.uint64(16807)
+        self._r = np.float64(2147483646.0)
+
+    def take(self, n: int) -> np.ndarray:
+        out = np.empty(n, dtype=np.float64)
+        x, m, a, r = self._x, self._m, self._a, self._r
+        for i in range(n):
+            x = (x * a) % m
+            d1 = np.float64(x - np.uint64(1))
+            x = (x * a) % m
+            d2 = np.float64(x - np.uint64(1))
+            out[i] = (d1 + d2 * r) / (r * r)
+        self._x = x
+        return out.astype(np.float32)
+
+
 def sort_order(filter_values: np.ndarray, keys: np.ndarray) -> np.ndarray:
     """Ascending filter value, ties broken by key (deterministic total order;
     the reference's std::sort is unstable on ties, ``db_builder.cpp:284``)."""

@@ -1,0 +1,162 @@
+"""Fused Pallas TPU kernels for the dense enumeration hot path.
+
+The enumeration factorizes (see ``dense.masked_halves``) into cheap masked
+half-window tensors L[W, nl], R[W, nr] plus one expensive combine:
+
+    A = max over windows w of  where(L[w] ⊕ R[w] > eps, L[w] ⊕ R[w], -inf)
+
+where ⊕ is the broadcasted outer sum ([nl, 1] + [1, nr]). The jnp/XLA version
+materializes the [block_w, nl*nr] score tensor in HBM every block; this kernel
+keeps everything in VMEM: per grid step it streams a block of windows, forms
+each [nl, nr] score tile in registers/VMEM, and folds it into the VMEM-resident
+accumulator. HBM traffic collapses to reading L/R once and writing A once —
+the kernel is VPU-bound (4 ops per candidate), which is the speed-of-light
+regime for this op (no matmul structure: the combine is an outer *sum*, so
+the MXU does not apply).
+
+Grid: (G, W_blocks) with the W axis innermost so the A block for ghost g is
+revisited sequentially (standard accumulate pattern).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .dense import NEG_INF, masked_halves, group_max
+
+__all__ = ["combine_max", "accumulate_ghosts_fused", "INTERPRET"]
+
+#: Interpreter mode for CPU testing (set IPK_TPU_INTERPRET=1; tests do).
+INTERPRET = os.environ.get("IPK_TPU_INTERPRET", "0") == "1"
+
+
+def _combine_kernel(L_ref, R_ref, eps_ref, A_ref, *, block_w: int,
+                    with_count: bool, count_ref=None):
+    wb = pl.program_id(1)
+
+    @pl.when(wb == 0)
+    def _():
+        A_ref[:] = jnp.full_like(A_ref, NEG_INF)
+        if with_count:
+            count_ref[:] = jnp.zeros_like(count_ref)
+
+    def body(i, count):
+        # [nl, 1] + [1, nr] outer sum -> [nl, nr] tile, all in VMEM
+        T = L_ref[0, i][:, None] + R_ref[0, i][None, :]
+        T = jnp.where(T > eps_ref[0, 0], T, NEG_INF)
+        A_ref[0] = jnp.maximum(A_ref[0], T)
+        if with_count:
+            count = count + jnp.sum((T != NEG_INF).astype(jnp.int32))
+        return count
+
+    total = jax.lax.fori_loop(0, block_w, body, jnp.int32(0))
+    if with_count:
+        # count lives in a VMEM-tiled (1, 8, 128) slab (SMEM outputs cannot be
+        # blocked per grid cell, and scalar stores to VMEM are not allowed):
+        # broadcast-accumulate over the tile, read back any one element
+        count_ref[0] = count_ref[0] + total
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_w", "with_count", "interpret"))
+def combine_max(L: jnp.ndarray, R: jnp.ndarray, log_threshold, *,
+                block_w: int = 256, with_count: bool = False,
+                interpret: bool | None = None):
+    """A[g] = max_w mask(L[g, w] ⊕ R[g, w]) for all ghosts.
+
+    L: [G, W, nl], R: [G, W, nr] f32 (from ``masked_halves``, -inf = pruned).
+    Returns A[G, nl, nr] (+ per-ghost surviving-tuple counts when with_count).
+    Window padding (to a multiple of block_w) must be -inf rows.
+    """
+    if interpret is None:
+        interpret = INTERPRET
+    G, W, nl = L.shape
+    nr = R.shape[2]
+    nl0, nr0 = nl, nr
+    # pad candidate axes up to hardware tile sizes (8 sublanes x 128 lanes):
+    # sub-tile blocks trigger pathological Mosaic compile times (~84s for
+    # [64, 64] vs 0.6s for [64, 256]); -inf candidates are inert under max
+    # and never survive the threshold, and the caller slices them away
+    nl_pad = max(nl, 8)
+    nr_pad = max(nr, 128)
+    if nl_pad != nl:
+        L = jnp.concatenate(
+            [L, jnp.full((G, W, nl_pad - nl), NEG_INF, jnp.float32)], axis=2)
+    if nr_pad != nr:
+        R = jnp.concatenate(
+            [R, jnp.full((G, W, nr_pad - nr), NEG_INF, jnp.float32)], axis=2)
+    bw = min(block_w, W)
+    num_blocks = -(-W // bw)
+    pad = num_blocks * bw - W
+    if pad:
+        fill = jnp.full((G, pad, nl_pad), NEG_INF, dtype=jnp.float32)
+        L = jnp.concatenate([L, fill], axis=1)
+        R = jnp.concatenate([R, jnp.full((G, pad, nr_pad), NEG_INF,
+                                         dtype=jnp.float32)], axis=1)
+    nl, nr = nl_pad, nr_pad
+    eps = jnp.asarray(log_threshold, dtype=jnp.float32).reshape(1, 1)
+
+    kernel = functools.partial(_combine_kernel, block_w=bw,
+                               with_count=with_count)
+    out_shape = [jax.ShapeDtypeStruct((G, nl, nr), jnp.float32)]
+    out_specs = [pl.BlockSpec((1, nl, nr), lambda g, wb: (g, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    if with_count:
+        def kernel_wc(L_ref, R_ref, eps_ref, A_ref, count_ref):
+            _combine_kernel(L_ref, R_ref, eps_ref, A_ref, block_w=bw,
+                            with_count=True, count_ref=count_ref)
+        kernel = kernel_wc
+        out_shape.append(jax.ShapeDtypeStruct((G, 8, 128), jnp.int32))
+        out_specs.append(pl.BlockSpec((1, 8, 128), lambda g, wb: (g, 0, 0),
+                                      memory_space=pltpu.VMEM))
+
+    result = pl.pallas_call(
+        kernel,
+        grid=(G, num_blocks),
+        in_specs=[
+            pl.BlockSpec((1, bw, nl), lambda g, wb: (g, wb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bw, nr), lambda g, wb: (g, wb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda g, wb: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(L, R, eps)
+    A = result[0][:, :nl0, :nr0]
+    if with_count:
+        return A, result[1][:, 0, 0]
+    return A
+
+
+@functools.partial(jax.jit, static_argnames=("k", "sigma", "block_w",
+                                             "with_count", "interpret"))
+def accumulate_ghosts_fused(P_all: jnp.ndarray, prefix_all: jnp.ndarray,
+                            log_threshold, *, k: int, sigma: int,
+                            block_w: int = 256, with_count: bool = False,
+                            interpret: bool | None = None):
+    """Fused-path equivalent of ``dense.accumulate_ghosts``:
+    halves in XLA, combine+accumulate in Pallas. Bit-identical output.
+
+    P_all: [G, S, sigma] → A[G, sigma^k] (+ per-ghost tuple counts).
+    """
+    halves = jax.vmap(
+        functools.partial(masked_halves, k=k, sigma=sigma),
+        in_axes=(0, 0, None))
+    L, R = halves(P_all, prefix_all, log_threshold)
+    out = combine_max(L, R, log_threshold, block_w=block_w,
+                      with_count=with_count, interpret=interpret)
+    G = P_all.shape[0]
+    if with_count:
+        A, counts = out
+        return A.reshape(G, -1), counts
+    return out.reshape(G, -1)

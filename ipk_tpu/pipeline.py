@@ -123,5 +123,7 @@ def build_database(p: BuildParams) -> Optional[BuildResult]:
                  traits=traits, kmer_size=p.kmer_size, omega=p.omega,
                  filter_type=p.filter, ghost_strategy=p.ghosts,
                  merge_branches=p.merge_branches,
+                 keep_positions=p.keep_positions,
                  output_filename=output, uncompressed=p.uncompressed,
+                 on_disk=p.on_disk, working_dir=p.working_dir,
                  verbose=p.verbosity)

@@ -1,0 +1,168 @@
+"""Builder mode tests: key-range batching, --on-disk external merge,
+--keep-positions, --merge-branches, ghost strategies.
+
+Invariant: every mode decomposition (batches, on-disk) must produce the exact
+same database as the plain in-RAM build.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from ipk_tpu import serialize
+from ipk_tpu.pipeline import BuildParams, build_database
+from ipk_tpu.seq import AA, DNA
+
+from fixtures import make_project
+
+
+@pytest.fixture(scope="module")
+def dna_project(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("modes")
+    return tmp, *make_project(tmp, num_leaves=6, width=25, seed=21)
+
+
+def build_with(tmp, tree_file, fasta_file, ar_dir, name, **overrides):
+    out = str(tmp / f"{name}.ipk")
+    params = BuildParams(
+        refalign=fasta_file, reftree=tree_file, states="nucl",
+        working_dir=str(tmp / f"wd_{name}"), ar_dir=ar_dir, kmer_size=5,
+        omega=1.5, output_filename=out, verbosity=0)
+    for key, val in overrides.items():
+        setattr(params, key, val)
+    build_database(params)
+    return out
+
+
+def assert_db_equal(f1, f2):
+    a, b = serialize.load(f1), serialize.load(f2)
+    np.testing.assert_array_equal(a.keys, b.keys)
+    np.testing.assert_array_equal(a.filter_values, b.filter_values)
+    np.testing.assert_array_equal(a.offsets, b.offsets)
+    np.testing.assert_array_equal(a.branches, b.branches)
+    np.testing.assert_array_equal(a.scores, b.scores)
+
+
+def test_key_batches_invariance(dna_project, monkeypatch):
+    tmp, tree_file, fasta_file, ar_dir = dna_project
+    base = build_with(tmp, tree_file, fasta_file, ar_dir, "base")
+    # force 4 key batches through the builder
+    import ipk_tpu.builder as builder_mod
+    monkeypatch.setattr(builder_mod, "pick_key_batches",
+                        lambda *a, **k: 4)
+    batched = build_with(tmp, tree_file, fasta_file, ar_dir, "batched")
+    assert_db_equal(base, batched)
+
+
+def test_on_disk_equals_in_ram(dna_project):
+    tmp, tree_file, fasta_file, ar_dir = dna_project
+    base = build_with(tmp, tree_file, fasta_file, ar_dir, "ram")
+    ondisk = build_with(tmp, tree_file, fasta_file, ar_dir, "disk",
+                        on_disk=True)
+    assert_db_equal(base, ondisk)
+    # temp hashmaps dir removed after the build (db_builder.cpp:213)
+    assert not os.path.exists(str(tmp / "wd_disk" / "hashmaps"))
+
+
+def test_on_disk_with_batches(dna_project, monkeypatch):
+    tmp, tree_file, fasta_file, ar_dir = dna_project
+    base = build_with(tmp, tree_file, fasta_file, ar_dir, "ram2")
+    import ipk_tpu.builder as builder_mod
+    monkeypatch.setattr(builder_mod, "pick_key_batches", lambda *a, **k: 4)
+    ondisk = build_with(tmp, tree_file, fasta_file, ar_dir, "disk2",
+                        on_disk=True)
+    assert_db_equal(base, ondisk)
+
+
+def test_merge_branches(dna_project):
+    tmp, tree_file, fasta_file, ar_dir = dna_project
+    out = build_with(tmp, tree_file, fasta_file, ar_dir, "merged",
+                     merge_branches=True)
+    db = serialize.load(out)
+    # exactly one entry (the max-scoring branch) per k-mer
+    assert (np.diff(db.offsets) == 1).all()
+    full = serialize.load(build_with(tmp, tree_file, fasta_file, ar_dir,
+                                     "full"))
+    # merged scores = per-key max over the full DB's entries
+    full_max = {}
+    for key, entries in full:
+        full_max[key] = max(s for _, s in entries)
+    for key, entries in db:
+        assert np.float32(entries[0][1]) == np.float32(full_max[key])
+
+
+def test_ghost_strategies(dna_project):
+    tmp, tree_file, fasta_file, ar_dir = dna_project
+    both = serialize.load(build_with(tmp, tree_file, fasta_file, ar_dir,
+                                     "both", ghosts="both"))
+    inner = serialize.load(build_with(tmp, tree_file, fasta_file, ar_dir,
+                                      "inner", ghosts="inner-only"))
+    outer = serialize.load(build_with(tmp, tree_file, fasta_file, ar_dir,
+                                      "outer", ghosts="outer-only"))
+    # "both" takes the max over X0/X1, so per-(key, branch) its score equals
+    # max(inner, outer) wherever both exist
+    def to_map(db):
+        return {(key, b): s for key, entries in db for b, s in entries}
+    m_both, m_in, m_out = to_map(both), to_map(inner), to_map(outer)
+    assert set(m_both) == set(m_in) | set(m_out)
+    for kb, s in m_both.items():
+        expect = max(m_in.get(kb, -np.inf), m_out.get(kb, -np.inf))
+        assert np.float32(s) == np.float32(expect)
+
+
+def test_keep_positions_amino(tmp_path):
+    from fixtures import make_project
+    tree_file, fasta_file, ar_dir = make_project(
+        tmp_path, num_leaves=5, width=15, seed=5, traits=AA)
+    out = str(tmp_path / "pos.ipk")
+    params = BuildParams(
+        refalign=fasta_file, reftree=tree_file, states="amino",
+        working_dir=str(tmp_path / "wdp"), ar_dir=ar_dir, kmer_size=3,
+        omega=4.0, output_filename=out, keep_positions=True, verbosity=0)
+    result = build_database(params)
+    assert result.db.positions is not None
+    loaded = serialize.load(out)
+    assert loaded.positions is not None
+    np.testing.assert_array_equal(loaded.positions, result.db.positions)
+    # positions are valid window starts: 0 <= pos <= S - k
+    assert loaded.positions.max() <= 15 - 3
+    # scores identical to the non-positions build
+    plain = BuildParams(**{**params.__dict__, "keep_positions": False,
+                           "working_dir": str(tmp_path / "wdq"),
+                           "output_filename": str(tmp_path / "plain.ipk")})
+    build_database(plain)
+    p = serialize.load(str(tmp_path / "plain.ipk"))
+    np.testing.assert_array_equal(loaded.keys, p.keys)
+    np.testing.assert_array_equal(loaded.scores, p.scores)
+
+
+def test_positions_earliest_window_tiebreak(tmp_path):
+    """A constant matrix gives equal scores in every window: the stored
+    position must be the earliest window (strict-greater put semantics)."""
+    import ipk_tpu.builder as b
+    from ipk_tpu.core import dense
+    P = np.full((2, 10, 4), np.log10(0.25), dtype=np.float32)
+    prefix = dense.best_score_prefix(P)
+    eps = b.log_threshold_f32(0.9, 4, 2)  # strictly below the constant score
+    L, R = None, None
+    batches = list(b._enumerate_batches(
+        P, prefix, k=2, sigma=4, eps=eps, ghosts_per_group=2,
+        key_batches=1, backend="jnp", block_w=4, keep_positions=True))
+    lo, A, pos = batches[0]
+    surv = np.isfinite(A)
+    assert surv.any()
+    assert (pos[surv] == 0).all()
+
+
+def test_on_disk_rejects_positions(tmp_path):
+    from fixtures import make_project
+    tree_file, fasta_file, ar_dir = make_project(
+        tmp_path, num_leaves=4, width=12, seed=6, traits=AA)
+    params = BuildParams(
+        refalign=fasta_file, reftree=tree_file, states="amino",
+        working_dir=str(tmp_path / "wd"), ar_dir=ar_dir, kmer_size=3,
+        omega=4.0, output_filename=str(tmp_path / "x.ipk"),
+        keep_positions=True, on_disk=True, verbosity=0)
+    with pytest.raises(RuntimeError, match="Positions are not supported"):
+        build_database(params)
