@@ -164,19 +164,39 @@ def save_alignment(align: Alignment, filename: str, fmt: str = "fasta") -> None:
         raise ValueError(f"Unknown alignment format: {fmt}")
 
 
+def convert_uo(align: Alignment) -> Alignment:
+    """Convert U, O amino acids to C, L (``--convert-uo``, ``ipk.py:122-124``;
+    the reference wrapper accepts the flag but never forwards it — here it is
+    actually implemented)."""
+    table = str.maketrans("UuOo", "CcLl")
+    return Alignment(align.headers, [s.translate(table)
+                                     for s in align.sequences])
+
+
 def preprocess_alignment(working_dir: str, alignment_file: str,
                          reduction_ratio: float, no_reduction: bool,
-                         traits: SeqTraits = DNA, verbose: int = 1) -> Alignment:
-    """Load → validate → (reduce + save) (``alignment.cpp:245-293``)."""
+                         traits: SeqTraits = DNA, verbose: int = 1,
+                         convert_uo_flag: bool = False,
+                         write_reduction: str = "") -> Alignment:
+    """Load → validate → (reduce + save) (``alignment.cpp:245-293``).
+
+    write_reduction: optional extra path to save the reduced alignment to
+    (``--write-reduction``, ``ipk.py:102-104``; dead in the reference wrapper,
+    implemented here).
+    """
     os.makedirs(working_dir, exist_ok=True)
     if verbose > 0:
         print(f"Loading the reference alignment: {alignment_file}")
     align = load_alignment(alignment_file)
+    if convert_uo_flag:
+        align = convert_uo(align)
     align.validate()
     if not no_reduction:
         align = reduce_alignment(align, reduction_ratio, traits)
         align.validate()
         save_alignment(align, os.path.join(working_dir, "align.reduced.fasta"))
+        if write_reduction:
+            save_alignment(align, write_reduction)
     if verbose > 0:
         print(f"Loaded and filtered {align.height} sequences.\n")
     return align

@@ -247,10 +247,25 @@ def build(original_tree: PhyloTree,
     threshold = score_threshold(omega, sigma, kmer_size)
     rng_stream = RandomFilterStream() if filter_type == "random" else None
 
-    batches = _enumerate_batches(
-        P_all, prefix_all, k=kmer_size, sigma=sigma, eps=eps,
-        ghosts_per_group=ghosts_per_group, key_batches=key_batches,
-        backend=backend, block_w=block_w, keep_positions=keep_positions)
+    n_devices = jax.device_count()
+    use_sharded = (n_devices > 1 and not keep_positions
+                   and key_batches == 1
+                   and os.environ.get("IPK_TPU_NO_SHARD") != "1")
+    if use_sharded:
+        # branch-data-parallel over all devices (SURVEY.md §2.3: the loop the
+        # reference left as a commented-out OpenMP pragma)
+        from .parallel.mesh import make_mesh
+        from .parallel.build_sharded import sharded_enumerate
+        mesh = make_mesh(n_branch=n_devices, n_key=1)
+        A_full = sharded_enumerate(
+            mesh, P_all, prefix_all, eps, k=kmer_size, sigma=sigma,
+            ghosts_per_group=ghosts_per_group, block_w=block_w)
+        batches = iter([(0, A_full, None)])
+    else:
+        batches = _enumerate_batches(
+            P_all, prefix_all, k=kmer_size, sigma=sigma, eps=eps,
+            ghosts_per_group=ghosts_per_group, key_batches=key_batches,
+            backend=backend, block_w=block_w, keep_positions=keep_positions)
 
     # ---- stages 2+3 -------------------------------------------------------
     num_explored = 0

@@ -85,6 +85,17 @@ def ipk():
               required=False)
 @click.option("--convert-uo", is_flag=True,
               help="Convert U, O amino acids to C, L.")
+@click.option("--write-reduction", type=click.Path(file_okay=True,
+                                                   dir_okay=False),
+              help="Write reduced alignment to file.")
+@click.option("--bb", "algorithm", flag_value="BB",
+              help="Use the branch-and-bound enumeration algorithm.")
+@click.option("--dc", "algorithm", flag_value="DC",
+              help="Use the divide-and-conquer enumeration algorithm.")
+@click.option("--dcla", "algorithm", flag_value="DCLA", default=True,
+              help="Use divide-and-conquer with lookahead (default).")
+@click.option("--dccw", "algorithm", flag_value="DCCW",
+              help="Use divide-and-conquer with chained windows.")
 @click.option("--no-reduction", is_flag=True)
 @click.option("--reduction-ratio", type=float, default=0.99, show_default=True)
 @click.option("--omega", type=float, default=1.5, show_default=True)
@@ -105,9 +116,10 @@ def ipk():
 @click.option("--output", "-o", help="Output file name")
 @click.option("--on-disk", is_flag=True, default=False, show_default=True)
 def build(ar, refalign, reftree, states, verbosity, workdir, alpha, categories,
-          k, model, convert_uo, no_reduction, reduction_ratio, omega, filter,
-          mu, ghosts, use_unrooted, merge_branches, ar_dir, ar_only, ar_config,
-          keep_positions, uncompressed, threads, output, on_disk):
+          k, model, convert_uo, write_reduction, algorithm, no_reduction,
+          reduction_ratio, omega, filter, mu, ghosts, use_unrooted,
+          merge_branches, ar_dir, ar_only, ar_config, keep_positions,
+          uncompressed, threads, output, on_disk):
     """Compute a database of phylo-k-mers."""
     from .pipeline import BuildParams, build_database
     if states == "nucl" and keep_positions:
@@ -124,6 +136,8 @@ def build(ar, refalign, reftree, states, verbosity, workdir, alpha, categories,
         filter=filter, ghosts=ghosts, use_unrooted=use_unrooted,
         merge_branches=merge_branches, keep_positions=keep_positions,
         uncompressed=uncompressed, on_disk=on_disk, num_threads=threads,
+        algorithm=algorithm or "DCLA", convert_uo=convert_uo,
+        write_reduction=write_reduction or "",
         verbosity=verbosity)
     build_database(params)
 
@@ -147,6 +161,18 @@ def dump(database):
     """Plain-text dump (format of the reference ipkdump, dump.cpp:18-33)."""
     from .tools import dump_database
     dump_database(database, sys.stdout)
+
+
+@ipk.command("diff-text")
+@click.argument("db1", type=click.Path(exists=True))
+@click.argument("db2", type=click.Path(exists=True))
+@click.option("--eps", type=float, default=1e-3, show_default=True,
+              help="Linear-space score tolerance.")
+def diff_text(db1, db2, eps):
+    """Tolerant comparison ignoring threshold-boundary k-mers (the
+    diff-plain-text.py analog); exit 1 on differences."""
+    from .tools import diff_plain_text
+    sys.exit(0 if diff_plain_text(db1, db2, eps=eps) else 1)
 
 
 if __name__ == "__main__":

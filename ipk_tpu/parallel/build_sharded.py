@@ -84,6 +84,32 @@ def _local_step(P_loc, prefix_loc, log_threshold, *, k, sigma,
     return A_loc, fv
 
 
+def sharded_enumerate(mesh: Mesh, P_all: np.ndarray, prefix_all: np.ndarray,
+                      log_threshold, *, k: int, sigma: int,
+                      ghosts_per_group: int, block_w: int = 32) -> np.ndarray:
+    """Branch-data-parallel stage 1 only: A[B, σ^k] over the mesh.
+
+    Pads the ghost axis to the mesh (padded groups yield no survivors) and
+    returns the unpadded accumulator. Bit-identical to the single-device
+    path (enumeration has no cross-branch arithmetic).
+    """
+    n_branch = mesh.shape["branch"]
+    P_pad, prefix_pad, G = pad_ghosts(np.asarray(P_all, np.float32),
+                                      np.asarray(prefix_all, np.float32),
+                                      n_branch * ghosts_per_group)
+
+    def local(P_loc, prefix_loc):
+        A_ghost = dense.accumulate_ghosts(P_loc, prefix_loc, log_threshold,
+                                          k=k, sigma=sigma, block_w=block_w)
+        return dense.group_max(A_ghost, ghosts_per_group)
+
+    mapped = jax.jit(jax.shard_map(local, mesh=mesh,
+                                   in_specs=(P("branch"), P("branch")),
+                                   out_specs=P("branch")))
+    A = mapped(P_pad, prefix_pad)
+    return np.asarray(A)[:G // ghosts_per_group]
+
+
 def sharded_build_step(mesh: Mesh, *, k: int, sigma: int, ghosts_per_group: int,
                        total_num_groups: int, threshold: float,
                        block_w: int = 32):

@@ -51,6 +51,10 @@ class BuildParams:
     no_reduction: bool = False
     filter: str = "mif0"
     ghosts: str = "both"
+    algorithm: str = "DCLA"      # --BB/--DC/--DCLA/--DCCW accepted; like the
+                                 # reference, DCLA is what runs (db_builder.cpp:648)
+    convert_uo: bool = False
+    write_reduction: str = ""
     use_unrooted: bool = False
     merge_branches: bool = False
     keep_positions: bool = False
@@ -68,7 +72,9 @@ def build_database(p: BuildParams) -> Optional[BuildResult]:
     # L5: alignment preprocessing
     align = aln.preprocess_alignment(p.working_dir, p.refalign,
                                      p.reduction_ratio, p.no_reduction,
-                                     traits, p.verbosity)
+                                     traits, p.verbosity,
+                                     convert_uo_flag=p.convert_uo,
+                                     write_reduction=p.write_reduction)
 
     # L5: tree extension
     original_tree, extended_tree, ghost_mapping = tr.preprocess_tree(

@@ -88,6 +88,52 @@ def diff_databases(file1: str, file2: str, verbose: bool = False,
     return bool(ok)
 
 
+def diff_plain_text(file1: str, file2: str, eps: float = 1e-3,
+                    verbose: bool = True) -> bool:
+    """Tolerant linear-space comparison, the ``diff-plain-text.py`` analog:
+    scores are compared as 10^log_score with tolerance ``eps``, and any score
+    within ``eps`` of the detection threshold ``(omega/sigma)^k`` is ignored —
+    boundary k-mers legitimately differ under float noise
+    (``diff-plain-text.py:36-46,83-86``; threshold derived from the DB header
+    instead of hardcoded)."""
+    a = serialize.load(file1)
+    b = serialize.load(file2)
+    sigma = get_traits(a.sequence_type).alphabet_size
+    threshold = (a.omega / sigma) ** a.kmer_size
+
+    def to_map(db):
+        return {key: {e[0]: 10.0 ** float(e[1]) for e in entries}
+                for key, entries in db}
+
+    ma, mb = to_map(a), to_map(b)
+
+    def ignore(s1, s2):
+        if s1 is not None and s2 is not None:
+            return (abs(s1 - threshold) < eps or abs(s2 - threshold) < eps
+                    or abs(s1 - s2) < eps)
+        s = s1 if s1 is not None else s2
+        return s is None or abs(s - threshold) < eps
+
+    diffs = []
+    for key in set(ma) | set(mb):
+        ea = ma.get(key, {})
+        eb = mb.get(key, {})
+        for branch in set(ea) | set(eb):
+            s1, s2 = ea.get(branch), eb.get(branch)
+            if not ignore(s1, s2):
+                diffs.append((key, branch, s1, s2))
+    if diffs:
+        if verbose:
+            traits = get_traits(a.sequence_type)
+            for key, branch, s1, s2 in sorted(diffs):
+                print(f"{decode_kmer(key, a.kmer_size, traits)}\t{branch}\t"
+                      f"{s1}\t{s2}")
+        return False
+    if verbose:
+        print("OK")
+    return True
+
+
 def dump_database(filename: str, out: TextIO) -> None:
     """Reference ipkdump format (``dump.cpp:18-33``): the k-mer decoded to
     text, then per entry "\\t<10^score>\\t<node preorder id>" resolved through
