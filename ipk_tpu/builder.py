@@ -44,8 +44,9 @@ from .seq import SeqTraits, dense_index_to_key
 from .tree import PhyloTree, to_newick
 from .db import PhyloKmerDB
 from .core import dense
+from .core import sparse as sparse_mod
 from .core.filter import (RandomFilterStream, mif0_filter_values,
-                          score_threshold)
+                          mif0_filter_values_entries, score_threshold)
 from .ar.mapping import gather_ghost_tensor, ghost_groups
 from . import serialize
 
@@ -123,6 +124,88 @@ def _enumerate_batches(P_all: np.ndarray, prefix_all: np.ndarray, *,
             A_g = A_g.reshape(A_g.shape[0], -1)
             A = dense.group_max(A_g, ghosts_per_group)
             yield b * step * nr, np.asarray(A), None
+
+
+#: Dense accumulators above this candidate-space size switch to the sparse
+#: capacity-bounded path (DNA k>13, AA k>6).
+MAX_DENSE_KEYSPACE = 1 << 27
+
+
+def _enumerate_sparse_branches(P_all: np.ndarray, prefix_all: np.ndarray, *,
+                               k: int, sigma: int, bits: int, eps: np.float32,
+                               ghosts_per_group: int, cap: int):
+    """Large-k stage 1: per-branch merged survivor lists.
+
+    Returns (list of per-branch (codes, scores), explored-tuple count).
+    Raises on capacity overflow (silent truncation would drop valid k-mers).
+    """
+    G = P_all.shape[0]
+    per_branch = []
+    explored = 0
+    for b in range(G // ghosts_per_group):
+        chunks_c, chunks_s = [], []
+        for g in range(ghosts_per_group):
+            i = b * ghosts_per_group + g
+            codes, scores, overflow = sparse_mod.enumerate_sparse(
+                P_all[i], prefix_all[i], eps, k=k, sigma=sigma, bits=bits,
+                cap=cap)
+            if overflow:
+                raise RuntimeError(
+                    f"Survivor-list capacity {cap} exceeded (ghost row {i}). "
+                    "Increase --max-candidates or raise --omega.")
+            explored += int(np.isfinite(scores).sum())
+            c, s = sparse_mod.merge_window_lists(codes, scores)
+            chunks_c.append(c)
+            chunks_s.append(s)
+        merged_c, merged_s = sparse_mod.merge_window_lists(
+            np.concatenate(chunks_c), np.concatenate(chunks_s))
+        per_branch.append((merged_c, merged_s))
+    return per_branch, explored
+
+
+def _extract_from_lists(per_branch, group_ids, total_num_groups: int,
+                        threshold: float, filter_type: str,
+                        rng_stream: Optional[RandomFilterStream],
+                        merge_branches: bool):
+    """Per-branch sparse lists → unsorted DB arrays (keys, fv, counts,
+    branches, scores, positions=None). Entry order per key = group order."""
+    if not per_branch:
+        z = np.zeros(0)
+        return (z.astype(np.uint64), z, z.astype(np.int64),
+                z.astype(np.uint32), z.astype(np.float32), None)
+    all_keys = np.concatenate([c for c, _ in per_branch])
+    all_scores = np.concatenate([s for _, s in per_branch])
+    all_border = np.concatenate(
+        [np.full(len(c), bi, dtype=np.int64)
+         for bi, (c, _) in enumerate(per_branch)])
+    order = np.lexsort((all_border, all_keys))  # key-major, group order
+    all_keys, all_scores, all_border = (all_keys[order], all_scores[order],
+                                        all_border[order])
+
+    if merge_branches:
+        # keep only the best-scoring entry per key (earliest group on ties)
+        sub = np.lexsort((all_border, -all_scores.astype(np.float64),
+                          all_keys))
+        ks, ss, bs = all_keys[sub], all_scores[sub], all_border[sub]
+        first = np.ones(len(ks), dtype=bool)
+        first[1:] = ks[1:] != ks[:-1]
+        all_keys, all_scores, all_border = ks[first], ss[first], bs[first]
+
+    first = np.ones(len(all_keys), dtype=bool)
+    first[1:] = all_keys[1:] != all_keys[:-1]
+    keys = all_keys[first]
+    key_index = np.cumsum(first) - 1
+    counts = np.bincount(key_index, minlength=len(keys)).astype(np.int64)
+    branches = np.asarray(group_ids, dtype=np.uint32)[all_border]
+
+    if filter_type == "mif0":
+        fv = mif0_filter_values_entries(all_scores, key_index, len(keys),
+                                        total_num_groups, threshold)
+    elif filter_type == "random":
+        fv = rng_stream.take(len(keys)).astype(np.float64)
+    else:
+        raise RuntimeError("Error: Unsupported filter type.")
+    return keys, fv, counts, branches, all_scores.astype(np.float32), None
 
 
 # ---------------------------------------------------------------------------
@@ -205,6 +288,8 @@ def build(original_tree: PhyloTree,
           key_batches: Optional[int] = None,
           backend: Optional[str] = None,
           block_w: int = 32,
+          sparse: Optional[bool] = None,
+          sparse_cap: int = 4096,
           verbose: int = 1) -> BuildResult:
     """Run the full stage-1..3 build (cf. ``db_builder::run``,
     ``db_builder.cpp:182-218``)."""
@@ -247,11 +332,27 @@ def build(original_tree: PhyloTree,
     threshold = score_threshold(omega, sigma, kmer_size)
     rng_stream = RandomFilterStream() if filter_type == "random" else None
 
+    use_sparse = sparse if sparse is not None else (
+        sigma ** kmer_size > MAX_DENSE_KEYSPACE)
+    if use_sparse and keep_positions:
+        raise RuntimeError(
+            "--keep-positions is not supported on the sparse (large-k) path")
+
     n_devices = jax.device_count()
-    use_sharded = (n_devices > 1 and not keep_positions
+    use_sharded = (n_devices > 1 and not keep_positions and not use_sparse
                    and key_batches == 1
                    and os.environ.get("IPK_TPU_NO_SHARD") != "1")
-    if use_sharded:
+    num_explored = 0
+    if use_sparse:
+        per_branch, num_explored = _enumerate_sparse_branches(
+            P_all, prefix_all, k=kmer_size, sigma=sigma,
+            bits=traits.bits_per_symbol, eps=eps,
+            ghosts_per_group=ghosts_per_group, cap=sparse_cap)
+        sparse_part = _extract_from_lists(
+            per_branch, group_ids, original_tree.get_node_count(), threshold,
+            filter_type, rng_stream, merge_branches)
+        batches = iter(())
+    elif use_sharded:
         # branch-data-parallel over all devices (SURVEY.md §2.3: the loop the
         # reference left as a commented-out OpenMP pragma)
         from .parallel.mesh import make_mesh
@@ -268,18 +369,13 @@ def build(original_tree: PhyloTree,
             backend=backend, block_w=block_w, keep_positions=keep_positions)
 
     # ---- stages 2+3 -------------------------------------------------------
-    num_explored = 0
     parts = []
     temp_files: List[str] = []
     hashmaps_dir = os.path.join(working_dir or ".", "hashmaps")
     if on_disk:
         os.makedirs(hashmaps_dir, exist_ok=True)
 
-    for batch_idx, (lo, A, pos) in enumerate(batches):
-        num_explored += int(np.isfinite(A).sum())
-        part = _extract_batch(A, lo, pos, group_ids, kmer_size, traits,
-                              original_tree.get_node_count(), threshold,
-                              filter_type, rng_stream, merge_branches)
+    def handle_part(batch_idx, part):
         if on_disk:
             keys, fv, offsets, branches, scores, positions = _sort_batch(*part)
             temp_db = PhyloKmerDB(kmer_size, omega, traits.name, "", [])
@@ -290,6 +386,15 @@ def build(original_tree: PhyloTree,
             temp_files.append(name)
         else:
             parts.append(part)
+
+    if use_sparse:
+        handle_part(0, sparse_part)
+    for batch_idx, (lo, A, pos) in enumerate(batches):
+        num_explored += int(np.isfinite(A).sum())
+        handle_part(batch_idx, _extract_batch(
+            A, lo, pos, group_ids, kmer_size, traits,
+            original_tree.get_node_count(), threshold,
+            filter_type, rng_stream, merge_branches))
     timings["computation"] = time.monotonic() - t0
     if verbose > 0:
         print(f"Computation time: {timings['computation']*1e3:.0f} ms")

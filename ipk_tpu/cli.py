@@ -115,11 +115,14 @@ def ipk():
 @click.option("--threads", type=int, default=1, show_default=True)
 @click.option("--output", "-o", help="Output file name")
 @click.option("--on-disk", is_flag=True, default=False, show_default=True)
+@click.option("--max-candidates", type=int, default=4096, show_default=True,
+              help="Per-window survivor-list capacity on the large-k path; "
+                   "the build fails loudly if exceeded.")
 def build(ar, refalign, reftree, states, verbosity, workdir, alpha, categories,
           k, model, convert_uo, write_reduction, algorithm, no_reduction,
           reduction_ratio, omega, filter, mu, ghosts, use_unrooted,
           merge_branches, ar_dir, ar_only, ar_config, keep_positions,
-          uncompressed, threads, output, on_disk):
+          uncompressed, threads, output, on_disk, max_candidates):
     """Compute a database of phylo-k-mers."""
     from .pipeline import BuildParams, build_database
     if states == "nucl" and keep_positions:
@@ -138,6 +141,7 @@ def build(ar, refalign, reftree, states, verbosity, workdir, alpha, categories,
         uncompressed=uncompressed, on_disk=on_disk, num_threads=threads,
         algorithm=algorithm or "DCLA", convert_uo=convert_uo,
         write_reduction=write_reduction or "",
+        max_candidates=max_candidates,
         verbosity=verbosity)
     build_database(params)
 

@@ -1,0 +1,131 @@
+"""Capacity-bounded sparse enumeration for large k.
+
+The dense path (``dense.py``) scores all σ^k candidates, which is optimal for
+k ≤ ~12 DNA / ~6 AA but grows as σ^k regardless of pruning. The reference
+handles large k with recursive survivor lists whose sizes adapt to the data
+(``pk_compute.cpp:42-114``); data-dependent sizes are hostile to XLA, so this
+module uses the statically-shaped equivalent flagged in SURVEY.md §7.4:
+**capacity-bounded survivor lists with overflow detection**.
+
+Per span (j, h) of the same split tree, keep at most ``cap`` surviving
+(code, score) pairs per window, selected by ``jax.lax.top_k`` on score.
+Because every true survivor has score > eps and pruned slots are -inf, the
+survivor *set* is exactly the reference's whenever the count fits the cap;
+an overflow flag is returned per window so callers can fail loudly and retry
+with a larger cap (silent truncation would drop valid k-mers). Scores follow
+the identical f32 summation tree, so values are bit-equal to the dense path.
+
+Base levels with σ^h ≤ cap are complete dense lists (no selection at all);
+compaction only starts where the candidate space first exceeds the cap.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dense import NEG_INF
+
+__all__ = ["sparse_span_lists", "enumerate_sparse", "merge_window_lists"]
+
+
+def _range_max(prefix: jnp.ndarray, start_rel: int, length: int,
+               W: int) -> jnp.ndarray:
+    return (jax.lax.dynamic_slice(prefix, (start_rel + length,), (W,))
+            - jax.lax.dynamic_slice(prefix, (start_rel,), (W,)))
+
+
+def sparse_span_lists(P: jnp.ndarray, prefix: jnp.ndarray, j: int, h: int,
+                      eps: jnp.ndarray, *, k: int, sigma: int, bits: int,
+                      cap: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Survivor lists for span (j, h) at every window offset.
+
+    Returns (codes [W, C], scores [W, C], overflow [W] bool) with C ≤ cap;
+    invalid slots have score -inf (their codes are arbitrary). Codes are
+    bit-packed with the reference's strides (``pk_compute.cpp:96-105``).
+    """
+    W = P.shape[0] - k + 1
+    if h == 1:
+        T = jax.lax.dynamic_slice(P, (j, 0), (W, sigma))
+        scores = jnp.where(T > eps[:, None], T, NEG_INF)
+        codes = jnp.broadcast_to(
+            jax.lax.broadcasted_iota(jnp.uint64, (1, sigma), 1), (W, sigma))
+        return codes, scores, jnp.zeros((W,), dtype=bool)
+
+    hl = h // 2
+    hr = h - hl
+    eps_l = eps - _range_max(prefix, j + hl, hr, W)
+    eps_r = eps - _range_max(prefix, j, hl, W)
+    cl, sl, ol = sparse_span_lists(P, prefix, j, hl, eps_l, k=k, sigma=sigma,
+                                   bits=bits, cap=cap)
+    cr, sr, orr = sparse_span_lists(P, prefix, j + hl, hr, eps_r, k=k,
+                                    sigma=sigma, bits=bits, cap=cap)
+
+    # pairwise combine: [W, Cl*Cr]
+    scores = (sl[:, :, None] + sr[:, None, :]).reshape(W, -1)
+    scores = jnp.where(scores > eps[:, None], scores, NEG_INF)
+    codes = ((cl[:, :, None] << np.uint64(bits * hr)) | cr[:, None, :]
+             ).reshape(W, -1)
+    overflow = ol | orr
+
+    if scores.shape[1] > cap:
+        count = (scores > NEG_INF).sum(axis=1)
+        overflow = overflow | (count > cap)
+        scores, idx = jax.lax.top_k(scores, cap)
+        codes = jnp.take_along_axis(codes, idx.astype(jnp.int32), axis=1)
+    return codes, scores, overflow
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "sigma", "bits", "cap"))
+def _enumerate_sparse_jit(P, prefix, log_threshold, *, k, sigma, bits, cap):
+    W = P.shape[0] - k + 1
+    eps_top = jnp.full((W,), log_threshold, dtype=jnp.float32)
+    codes, scores, overflow = sparse_span_lists(
+        P, prefix, 0, k, eps_top, k=k, sigma=sigma, bits=bits, cap=cap)
+    return codes, scores, overflow.any()
+
+
+def enumerate_sparse(P, prefix, log_threshold, *, k: int, sigma: int,
+                     bits: int, cap: int = 4096):
+    """Full-window survivor lists for one ghost matrix.
+
+    Returns (codes [W, C] uint64, scores [W, C] f32, overflow bool).
+    Runs under scoped x64 so packed codes keep 64 bits (k up to 31 DNA needs
+    62; the global default truncates uint64 to uint32). All score arithmetic
+    is explicitly f32 and unaffected.
+    """
+    with jax.enable_x64():
+        codes, scores, overflow = _enumerate_sparse_jit(
+            jnp.asarray(P, jnp.float32), jnp.asarray(prefix, jnp.float32),
+            jnp.float32(log_threshold), k=k, sigma=sigma, bits=bits, cap=cap)
+        return (np.asarray(codes, dtype=np.uint64),
+                np.asarray(scores, dtype=np.float32), bool(overflow))
+
+
+def merge_window_lists(codes: np.ndarray, scores: np.ndarray
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side insert-or-max merge over windows (and ghosts, if their lists
+    are concatenated along the window axis) — the hash-map ``put`` analog
+    (``branch_group.cpp:88-102``) on compacted lists.
+
+    codes/scores: [..., C] flattened; invalid slots (score -inf) are dropped.
+    Returns (unique sorted codes, per-code max score).
+    """
+    codes = np.asarray(codes, dtype=np.uint64).ravel()
+    scores = np.asarray(scores, dtype=np.float32).ravel()
+    valid = np.isfinite(scores)
+    codes, scores = codes[valid], scores[valid]
+    if codes.size == 0:
+        return codes, scores
+    order = np.lexsort((-scores, codes))
+    codes, scores = codes[order], scores[order]
+    first = np.ones(len(codes), dtype=bool)
+    first[1:] = codes[1:] != codes[:-1]
+    # sorted by (code asc, score desc): the first row of each code group is
+    # its maximum
+    return codes[first], scores[first]

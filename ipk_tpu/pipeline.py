@@ -55,6 +55,7 @@ class BuildParams:
                                  # reference, DCLA is what runs (db_builder.cpp:648)
     convert_uo: bool = False
     write_reduction: str = ""
+    max_candidates: int = 4096   # survivor-list cap on the sparse large-k path
     use_unrooted: bool = False
     merge_branches: bool = False
     keep_positions: bool = False
@@ -132,4 +133,5 @@ def build_database(p: BuildParams) -> Optional[BuildResult]:
                  keep_positions=p.keep_positions,
                  output_filename=output, uncompressed=p.uncompressed,
                  on_disk=p.on_disk, working_dir=p.working_dir,
+                 sparse_cap=p.max_candidates,
                  verbose=p.verbosity)

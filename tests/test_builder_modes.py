@@ -166,3 +166,54 @@ def test_on_disk_rejects_positions(tmp_path):
         keep_positions=True, on_disk=True, verbosity=0)
     with pytest.raises(RuntimeError, match="Positions are not supported"):
         build_database(params)
+
+
+def test_sparse_path_equals_dense(dna_project, monkeypatch):
+    """Forced sparse (large-k) path produces a byte-identical DB."""
+    tmp, tree_file, fasta_file, ar_dir = dna_project
+    base = build_with(tmp, tree_file, fasta_file, ar_dir, "dense_ref")
+    import ipk_tpu.builder as bm
+    # force the sparse path by dropping the dense threshold
+    monkeypatch.setattr(bm, "MAX_DENSE_KEYSPACE", 1)
+    sparse = build_with(tmp, tree_file, fasta_file, ar_dir, "sparse_run")
+    with open(base, "rb") as f1, open(sparse, "rb") as f2:
+        assert f1.read() == f2.read()
+
+
+def test_sparse_on_disk(dna_project, monkeypatch):
+    tmp, tree_file, fasta_file, ar_dir = dna_project
+    base = build_with(tmp, tree_file, fasta_file, ar_dir, "dense_ref2")
+    import ipk_tpu.builder as bm
+    monkeypatch.setattr(bm, "MAX_DENSE_KEYSPACE", 1)
+    sparse = build_with(tmp, tree_file, fasta_file, ar_dir, "sparse_disk",
+                        on_disk=True)
+    assert_db_equal(base, sparse)
+
+
+def test_sparse_overflow_raises(dna_project, monkeypatch):
+    tmp, tree_file, fasta_file, ar_dir = dna_project
+    import ipk_tpu.builder as bm
+    monkeypatch.setattr(bm, "MAX_DENSE_KEYSPACE", 1)
+    with pytest.raises(RuntimeError, match="capacity"):
+        params = BuildParams(
+            refalign=fasta_file, reftree=tree_file, states="nucl",
+            working_dir=str(tmp / "wd_ovf"), ar_dir=ar_dir, kmer_size=5,
+            omega=0.01, max_candidates=8,
+            output_filename=str(tmp / "ovf.ipk"), verbosity=0)
+        build_database(params)
+
+
+def test_sparse_random_filter_and_merge_branches(dna_project, monkeypatch):
+    tmp, tree_file, fasta_file, ar_dir = dna_project
+    import ipk_tpu.builder as bm
+    base_r = build_with(tmp, tree_file, fasta_file, ar_dir, "rand_dense",
+                        filter="random")
+    base_m = build_with(tmp, tree_file, fasta_file, ar_dir, "mb_dense",
+                        merge_branches=True)
+    monkeypatch.setattr(bm, "MAX_DENSE_KEYSPACE", 1)
+    sp_r = build_with(tmp, tree_file, fasta_file, ar_dir, "rand_sparse",
+                      filter="random")
+    sp_m = build_with(tmp, tree_file, fasta_file, ar_dir, "mb_sparse",
+                      merge_branches=True)
+    assert_db_equal(base_r, sp_r)
+    assert_db_equal(base_m, sp_m)
