@@ -118,11 +118,14 @@ def ipk():
 @click.option("--max-candidates", type=int, default=4096, show_default=True,
               help="Per-window survivor-list capacity on the large-k path; "
                    "the build fails loudly if exceeded.")
+@click.option("--profile", "profile_dir", type=click.Path(), default="",
+              help="Write a jax.profiler device trace of the build to DIR "
+                   "(view with TensorBoard / xprof).")
 def build(ar, refalign, reftree, states, verbosity, workdir, alpha, categories,
           k, model, convert_uo, write_reduction, algorithm, no_reduction,
           reduction_ratio, omega, filter, mu, ghosts, use_unrooted,
           merge_branches, ar_dir, ar_only, ar_config, keep_positions,
-          uncompressed, threads, output, on_disk, max_candidates):
+          uncompressed, threads, output, on_disk, max_candidates, profile_dir):
     """Compute a database of phylo-k-mers."""
     from .pipeline import BuildParams, build_database
     if states == "nucl" and keep_positions:
@@ -141,7 +144,7 @@ def build(ar, refalign, reftree, states, verbosity, workdir, alpha, categories,
         uncompressed=uncompressed, on_disk=on_disk, num_threads=threads,
         algorithm=algorithm or "DCLA", convert_uo=convert_uo,
         write_reduction=write_reduction or "",
-        max_candidates=max_candidates,
+        max_candidates=max_candidates, profile_dir=profile_dir,
         verbosity=verbosity)
     build_database(params)
 
@@ -165,6 +168,23 @@ def dump(database):
     """Plain-text dump (format of the reference ipkdump, dump.cpp:18-33)."""
     from .tools import dump_database
     dump_database(database, sys.stdout)
+
+
+@ipk.command()
+@click.argument("database", type=click.Path(exists=True))
+@click.argument("queries", type=click.Path(exists=True))
+@click.option("-o", "--output", required=True, help="Output .jplace file")
+@click.option("--top", type=int, default=7, show_default=True,
+              help="Number of best branches reported per query.")
+def place(database, queries, output, top):
+    """Place query sequences (FASTA) against a database; writes jplace v3."""
+    from . import serialize
+    from .alignment import read_fasta
+    from .placement import place_queries, write_jplace
+    db = serialize.load(database)
+    placements = place_queries(db, read_fasta(queries), top=top)
+    write_jplace(db, placements, output)
+    print(f"Placed {len(placements)} queries -> {output}")
 
 
 @ipk.command("diff-text")

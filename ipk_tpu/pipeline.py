@@ -56,6 +56,7 @@ class BuildParams:
     convert_uo: bool = False
     write_reduction: str = ""
     max_candidates: int = 4096   # survivor-list cap on the sparse large-k path
+    profile_dir: str = ""        # write a jax.profiler trace of the build
     use_unrooted: bool = False
     merge_branches: bool = False
     keep_positions: bool = False
@@ -125,13 +126,23 @@ def build_database(p: BuildParams) -> Optional[BuildResult]:
     label_rows, P = read_ancestral_probs(probs_file, traits)
 
     output = p.output_filename or os.path.join(p.working_dir, "DB.ipk")
-    return build(original_tree, extended_tree, ghost_mapping, ar_mapping,
-                 label_rows, P,
-                 traits=traits, kmer_size=p.kmer_size, omega=p.omega,
-                 filter_type=p.filter, ghost_strategy=p.ghosts,
-                 merge_branches=p.merge_branches,
-                 keep_positions=p.keep_positions,
-                 output_filename=output, uncompressed=p.uncompressed,
-                 on_disk=p.on_disk, working_dir=p.working_dir,
-                 sparse_cap=p.max_candidates,
-                 verbose=p.verbosity)
+
+    def run_build():
+        return build(original_tree, extended_tree, ghost_mapping, ar_mapping,
+                     label_rows, P,
+                     traits=traits, kmer_size=p.kmer_size, omega=p.omega,
+                     filter_type=p.filter, ghost_strategy=p.ghosts,
+                     merge_branches=p.merge_branches,
+                     keep_positions=p.keep_positions,
+                     output_filename=output, uncompressed=p.uncompressed,
+                     on_disk=p.on_disk, working_dir=p.working_dir,
+                     sparse_cap=p.max_candidates,
+                     verbose=p.verbosity)
+
+    if p.profile_dir:
+        # structured device profiling — the reference has only wall-clock
+        # stage timers (SURVEY.md §5 tracing row)
+        import jax
+        with jax.profiler.trace(p.profile_dir):
+            return run_build()
+    return run_build()

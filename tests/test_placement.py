@@ -1,0 +1,81 @@
+"""Placement (mini-EPIK) tests: DB consumption end-to-end."""
+
+import json
+import os
+
+import numpy as np
+from click.testing import CliRunner
+
+from ipk_tpu import serialize
+from ipk_tpu.cli import ipk
+from ipk_tpu.pipeline import BuildParams, build_database
+from ipk_tpu.placement import PlacementIndex, place_queries
+from ipk_tpu.seq import decode_kmer, DNA
+
+from fixtures import make_project
+
+
+def build_db(tmp_path, **kw):
+    tree_file, fasta_file, ar_dir = make_project(tmp_path, num_leaves=6,
+                                                 width=30, seed=33)
+    out = str(tmp_path / "DB.ipk")
+    params = BuildParams(refalign=fasta_file, reftree=tree_file,
+                         states="nucl", working_dir=str(tmp_path / "wd"),
+                         ar_dir=ar_dir, kmer_size=5, omega=1.5,
+                         output_filename=out, verbosity=0, **kw)
+    build_database(params)
+    return out, fasta_file
+
+
+def test_query_kmers_skips_ambiguity(tmp_path):
+    out, _ = build_db(tmp_path)
+    index = PlacementIndex(serialize.load(out))
+    keys = index.query_kmers("ACGTACGT")
+    assert len(keys) == 4
+    keys2 = index.query_kmers("ACGNACGT")  # N invalidates 4 of the windows
+    assert len(keys2) == 0 or len(keys2) < 4
+    assert len(index.query_kmers("ACG")) == 0  # shorter than k
+
+
+def test_scoring_prefers_matching_branch(tmp_path):
+    out, _ = build_db(tmp_path)
+    db = serialize.load(out)
+    index = PlacementIndex(db)
+    # take the best k-mer of some branch as the query: that branch must come
+    # out ahead of the all-absent baseline
+    key, entries = next(iter(db))
+    query = decode_kmer(key, db.kmer_size, DNA)
+    branch_ids, totals, n = index.score_query(query)
+    assert n == 1
+    best_branch = branch_ids[np.argmax(totals)]
+    present = {e[0] for e in entries}
+    assert int(best_branch) in present
+    baseline = index.log_threshold
+    assert totals.max() > baseline
+
+
+def test_place_queries_weights_sum_to_one(tmp_path):
+    out, fasta = build_db(tmp_path)
+    db = serialize.load(out)
+    from ipk_tpu.alignment import read_fasta
+    placements = place_queries(db, read_fasta(fasta), top=3)
+    assert placements
+    for pl in placements:
+        weights = [p[2] for p in pl["p"]]
+        assert abs(sum(weights) - 1.0) < 1e-9
+        assert len(pl["p"]) <= 3
+
+
+def test_place_cli_jplace(tmp_path):
+    out, fasta = build_db(tmp_path)
+    jp = str(tmp_path / "out.jplace")
+    r = CliRunner().invoke(ipk, ["place", out, fasta, "-o", jp])
+    assert r.exit_code == 0, r.output
+    doc = json.load(open(jp))
+    assert doc["version"] == 3
+    assert doc["fields"] == ["edge_num", "likelihood", "like_weight_ratio"]
+    assert "{" in doc["tree"]  # edge annotations
+    assert len(doc["placements"]) > 0
+    edge_nums = {p[0] for pl in doc["placements"] for p in pl["p"]}
+    db = serialize.load(out)
+    assert edge_nums <= set(int(b) for b in db.branches)
