@@ -1,0 +1,211 @@
+#!/usr/bin/env python3
+"""Benchmark suite over the BASELINE.json configurations.
+
+Runs stage-1 enumeration throughput on several workloads (headline config 1
+is what `bench.py` reports to the driver) and writes
+``benchmarks/results.json``. Each entry records tuples/s and, where the
+single-core C++ DCLA baseline is affordable, the speedup over it.
+
+Configs (BASELINE.md):
+  1. DNA k=8, 256 branches, 300 sites  (the headline; = bench.py)
+  2. DNA k=10 on a ~150-taxon-scale alignment (deeper windows)
+  3. DNA k=12 (key-batched accumulator)
+  4. AA sigma=20, k=6 (wide-alphabet kernel; sparse path)
+  5. thousands of branches + the distributed MI reduction on one chip
+"""
+
+import functools
+import json
+import os
+import struct
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def make_P(rng, G, S, sigma):
+    p = rng.dirichlet(np.ones(sigma) * 0.4, size=(G, S)).astype(np.float32)
+    return np.log10(np.maximum(p, 1e-30)).astype(np.float32)
+
+
+def cpp_baseline_rate(P_sub, k, sigma, eps):
+    binary = os.path.join(REPO, "native", "baseline_dcla")
+    src = binary + ".cpp"
+    if (not os.path.exists(binary)
+            or os.path.getmtime(binary) < os.path.getmtime(src)):
+        subprocess.run(["g++", "-O3", "-march=native", "-o", binary, src],
+                       check=True)
+    header = struct.pack("<qqqqf", P_sub.shape[0], P_sub.shape[1], sigma, k,
+                         eps)
+    result = subprocess.run([binary], input=header + P_sub.tobytes(),
+                            capture_output=True, check=True)
+    out = json.loads(result.stdout)
+    return out["tuples"] / (out["ms"] / 1e3), out
+
+
+def dense_stage1(P_all, k, sigma, eps, key_batches=1, block_w=32,
+                 ghost_chunk=None):
+    """Fused-path stage 1, timed with host transfer of counts.
+
+    ghost_chunk bounds HBM: the half tensors are [chunk, W, sigma^(k//2)].
+    """
+    import jax
+    from ipk_tpu.core import dense
+    from ipk_tpu.core.pallas_kernels import combine_max
+
+    G = P_all.shape[0]
+    ghost_chunk = ghost_chunk or G
+    prefix_all = dense.best_score_prefix(P_all)
+    halves = jax.jit(jax.vmap(
+        functools.partial(dense.masked_halves, k=k, sigma=sigma),
+        in_axes=(0, 0, None)))
+    hl = k // 2
+    nl = sigma ** hl
+    step = nl // key_batches
+
+    def stage1(P_dev, pre_dev):
+        total = 0
+        for g0 in range(0, G, ghost_chunk):
+            L, R = halves(P_dev[g0:g0 + ghost_chunk],
+                          pre_dev[g0:g0 + ghost_chunk], eps)
+            for b in range(key_batches):
+                Lb = jax.lax.slice_in_dim(L, b * step, (b + 1) * step, axis=2)
+                _, counts = combine_max(Lb, R, eps, block_w=block_w,
+                                        with_count=True, interpret=False)
+                total += np.asarray(counts).astype(np.int64).sum()
+        return int(total)
+
+    P_dev = jax.device_put(P_all)
+    pre_dev = jax.device_put(prefix_all)
+    stage1(P_dev, pre_dev)  # compile
+    best, tuples = 1e18, 0
+    for _ in range(3):
+        t0 = time.monotonic()
+        tuples = stage1(P_dev, pre_dev)
+        best = min(best, time.monotonic() - t0)
+    return tuples, best
+
+
+def sparse_stage1(P_all, k, sigma, bits, eps, cap):
+    from ipk_tpu.core import dense
+    from ipk_tpu.core.sparse import enumerate_sparse
+
+    prefix_all = dense.best_score_prefix(P_all)
+    enumerate_sparse(P_all[0], prefix_all[0], eps, k=k, sigma=sigma,
+                     bits=bits, cap=cap)  # compile
+    t0 = time.monotonic()
+    tuples = 0
+    for g in range(P_all.shape[0]):
+        _, scores, overflow = enumerate_sparse(
+            P_all[g], prefix_all[g], eps, k=k, sigma=sigma, bits=bits,
+            cap=cap)
+        assert not overflow
+        tuples += int(np.isfinite(scores).sum())
+    return tuples, time.monotonic() - t0
+
+
+def distributed_mi(P_all, k, sigma, eps, omega):
+    """Config 5-lite: full sharded step (enumeration + MI collectives)."""
+    import jax
+    from ipk_tpu.core.filter import score_threshold
+    from ipk_tpu.parallel.mesh import make_mesh
+    from ipk_tpu.parallel.build_sharded import sharded_build_step
+    from ipk_tpu.core import dense
+
+    mesh = make_mesh(n_branch=jax.device_count(), n_key=1)
+    step = sharded_build_step(
+        mesh, k=k, sigma=sigma, ghosts_per_group=2,
+        total_num_groups=P_all.shape[0] // 2 + 1,
+        threshold=score_threshold(omega, sigma, k))
+    prefix_all = dense.best_score_prefix(P_all)
+    A, fv = step(P_all, prefix_all, eps)
+    np.asarray(fv)  # compile + settle
+    t0 = time.monotonic()
+    A, fv = step(P_all, prefix_all, eps)
+    fv = np.asarray(fv)
+    elapsed = time.monotonic() - t0
+    entries = int(np.isfinite(np.asarray(A)).sum())
+    return entries, elapsed
+
+
+def main():
+    results = {}
+    rng = np.random.default_rng(7)
+
+    def record(name, entry):
+        results[name] = entry
+        print(name, json.dumps(entry), flush=True)
+        out = os.path.join(REPO, "benchmarks", "results.json")
+        with open(out, "w") as f:
+            json.dump(results, f, indent=1)
+
+    # 1. headline: DNA k=8
+    omega, k, sigma = 1.5, 8, 4
+    eps = np.float32(np.log10((omega / sigma) ** k))
+    P = make_P(rng, 512, 300, sigma)
+    rate_cpp, raw = cpp_baseline_rate(P[:8], k, sigma, eps)
+    tuples, secs = dense_stage1(P, k, sigma, eps)
+    record("dna_k8", {"tuples": tuples, "seconds": secs,
+                      "tuples_per_sec": tuples / secs,
+                      "baseline_tuples_per_sec": rate_cpp,
+                      "speedup": tuples / secs / rate_cpp})
+
+    # 2. DNA k=10, 150-taxon-scale (298 branches -> 596 ghosts), 1500 sites;
+    #    ghost-chunked so the half tensors fit HBM
+    omega, k = 1.5, 10
+    eps = np.float32(np.log10((omega / sigma) ** k))
+    P = make_P(rng, 596, 1500, sigma)
+    rate_cpp, _ = cpp_baseline_rate(P[:2], k, sigma, eps)
+    tuples, secs = dense_stage1(P, k, sigma, eps, key_batches=2, block_w=16,
+                                ghost_chunk=149)
+    record("dna_k10", {"tuples": tuples, "seconds": secs,
+                       "tuples_per_sec": tuples / secs,
+                       "baseline_tuples_per_sec": rate_cpp,
+                       "speedup": tuples / secs / rate_cpp})
+
+    # 3. DNA k=12, key-batched (accumulator tile > VMEM otherwise)
+    omega, k = 2.0, 12
+    eps = np.float32(np.log10((omega / sigma) ** k))
+    P = make_P(rng, 64, 600, sigma)
+    tuples, secs = dense_stage1(P, k, sigma, eps, key_batches=16, block_w=8)
+    record("dna_k12", {"tuples": tuples, "seconds": secs,
+                       "tuples_per_sec": tuples / secs})
+
+    # 4a. AA k=6, dense key-batched kernel (64M keyspace fits the dense path)
+    omega, k, sigma_aa = 4.0, 6, 20
+    eps = np.float32(np.log10((omega / sigma_aa) ** k))
+    P = make_P(rng, 32, 200, sigma_aa)
+    tuples, secs = dense_stage1(P, k, sigma_aa, eps, key_batches=100,
+                                block_w=8)
+    record("aa_k6_dense", {"tuples": tuples, "seconds": secs,
+                           "tuples_per_sec": tuples / secs})
+
+    # 4b. AA k=8 (true sparse territory: 2.6e10 keyspace), small caps
+    omega, k = 7.0, 8
+    eps = np.float32(np.log10((omega / sigma_aa) ** k))
+    P = make_P(rng, 8, 100, sigma_aa)
+    tuples, secs = sparse_stage1(P, k, sigma_aa, bits=5, eps=eps, cap=512)
+    record("aa_k8_sparse", {"tuples": tuples, "seconds": secs,
+                            "tuples_per_sec": tuples / secs})
+
+    # 5. thousands of branches + distributed MI (single-chip mesh on TPU,
+    #    8-way on the CPU test mesh)
+    omega, k = 1.5, 8
+    eps = np.float32(np.log10((omega / sigma) ** k))
+    P = make_P(rng, 2048, 150, sigma)
+    entries, secs = distributed_mi(P, k, sigma, eps, omega)
+    record("branches_2048_mi", {"entries": entries, "seconds": secs})
+
+    out = os.path.join(REPO, "benchmarks", "results.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()

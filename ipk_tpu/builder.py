@@ -68,12 +68,21 @@ def choose_backend() -> str:
 
 
 def pick_key_batches(B: int, nl: int, nr: int,
-                     budget_bytes: int = 2 << 30) -> int:
-    """Number of prefix-axis batches so each A batch fits the budget."""
+                     budget_bytes: int = 2 << 30,
+                     vmem_tile_bytes: int = 4 << 20) -> int:
+    """Number of prefix-axis batches so each A batch fits the host/HBM budget
+    AND each per-ghost accumulator tile [nl/batches, nr] fits VMEM (the fused
+    kernel keeps the tile resident across window blocks)."""
     total = B * nl * nr * 4
-    batches = max(1, -(-total // budget_bytes))
-    while nl % batches != 0:  # contiguous equal slices of the prefix axis
-        batches += 1
+    batches = max(1, -(-total // budget_bytes),
+                  -(-(nl * nr * 4) // vmem_tile_bytes))
+    # prefer equal slices whose sublane count is a multiple of 8 (hardware
+    # tile alignment for the fused kernel); fall back to plain divisibility
+    for b in range(batches, nl + 1):
+        if nl % b == 0 and (nl // b) % 8 == 0:
+            return b
+    while batches < nl and nl % batches != 0:
+        batches += 1  # contiguous equal slices of the prefix axis
     return min(batches, nl)
 
 
@@ -136,23 +145,30 @@ def _enumerate_sparse_branches(P_all: np.ndarray, prefix_all: np.ndarray, *,
                                ghosts_per_group: int, cap: int):
     """Large-k stage 1: per-branch merged survivor lists.
 
-    Returns (list of per-branch (codes, scores), explored-tuple count).
-    Raises on capacity overflow (silent truncation would drop valid k-mers).
+    The survivor-list capacity adapts: start small (top-k compaction cost
+    scales with cap^2 at the combine), double on overflow up to the user's
+    ``cap``, and fail loudly only when the ceiling is reached (silent
+    truncation would drop valid k-mers).
     """
     G = P_all.shape[0]
     per_branch = []
     explored = 0
+    current_cap = min(512, cap)
     for b in range(G // ghosts_per_group):
         chunks_c, chunks_s = [], []
         for g in range(ghosts_per_group):
             i = b * ghosts_per_group + g
-            codes, scores, overflow = sparse_mod.enumerate_sparse(
-                P_all[i], prefix_all[i], eps, k=k, sigma=sigma, bits=bits,
-                cap=cap)
-            if overflow:
-                raise RuntimeError(
-                    f"Survivor-list capacity {cap} exceeded (ghost row {i}). "
-                    "Increase --max-candidates or raise --omega.")
+            while True:
+                codes, scores, overflow = sparse_mod.enumerate_sparse(
+                    P_all[i], prefix_all[i], eps, k=k, sigma=sigma,
+                    bits=bits, cap=current_cap)
+                if not overflow:
+                    break
+                if current_cap >= cap:
+                    raise RuntimeError(
+                        f"Survivor-list capacity {cap} exceeded (ghost row "
+                        f"{i}). Increase --max-candidates or raise --omega.")
+                current_cap = min(current_cap * 2, cap)
             explored += int(np.isfinite(scores).sum())
             c, s = sparse_mod.merge_window_lists(codes, scores)
             chunks_c.append(c)

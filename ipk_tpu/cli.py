@@ -67,8 +67,11 @@ def ipk():
 
 
 @ipk.command()
-@click.option("-b", "--ar", type=click.Path(exists=True), required=False,
-              help="Path to the ancestral reconstruction binary (RAxML-ng).")
+@click.option("-b", "--ar", type=str, required=False,
+              help="Path to the ancestral reconstruction binary (RAxML-ng), "
+                   "or the literal 'native' to use the built-in TPU "
+                   "ancestral reconstruction (GTR+G, empirical frequencies; "
+                   "no branch/model re-optimization).")
 @click.option("-r", "--refalign", type=click.Path(exists=True), required=True,
               help="Reference multiple sequence alignment in FASTA format.")
 @click.option("-t", "--reftree", type=click.Path(exists=True), required=True,

@@ -80,12 +80,13 @@ def combine_max(L: jnp.ndarray, R: jnp.ndarray, log_threshold, *,
     G, W, nl = L.shape
     nr = R.shape[2]
     nl0, nr0 = nl, nr
-    # pad candidate axes up to hardware tile sizes (8 sublanes x 128 lanes):
-    # sub-tile blocks trigger pathological Mosaic compile times (~84s for
-    # [64, 64] vs 0.6s for [64, 256]); -inf candidates are inert under max
-    # and never survive the threshold, and the caller slices them away
-    nl_pad = max(nl, 8)
-    nr_pad = max(nr, 128)
+    # pad candidate axes up to multiples of the hardware tile (8 sublanes x
+    # 128 lanes): sub-tile or misaligned blocks trigger pathological Mosaic
+    # compile times (~84s for [64, 64] vs 0.6s for [64, 256]); -inf candidates
+    # are inert under max and never survive the threshold, and the caller
+    # slices them away
+    nl_pad = -(-nl // 8) * 8
+    nr_pad = -(-nr // 128) * 128
     if nl_pad != nl:
         L = jnp.concatenate(
             [L, jnp.full((G, W, nl_pad - nl), NEG_INF, jnp.float32)], axis=2)

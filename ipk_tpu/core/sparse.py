@@ -91,20 +91,54 @@ def _enumerate_sparse_jit(P, prefix, log_threshold, *, k, sigma, bits, cap):
 
 
 def enumerate_sparse(P, prefix, log_threshold, *, k: int, sigma: int,
-                     bits: int, cap: int = 4096):
+                     bits: int, cap: int = 4096,
+                     window_block: int | None = None,
+                     combine_budget_bytes: int = 1 << 28):
     """Full-window survivor lists for one ghost matrix.
 
     Returns (codes [W, C] uint64, scores [W, C] f32, overflow bool).
     Runs under scoped x64 so packed codes keep 64 bits (k up to 31 DNA needs
     62; the global default truncates uint64 to uint32). All score arithmetic
     is explicitly f32 and unaffected.
+
+    Windows are processed in blocks so the top-level [block, Cl*Cr] combine
+    stays within ``combine_budget_bytes`` of HBM.
     """
+    P = np.asarray(P, dtype=np.float32)
+    prefix = np.asarray(prefix, dtype=np.float32)
+    S = P.shape[0]
+    W = S - k + 1
+    if W <= 0:
+        return (np.zeros((0, 1), np.uint64), np.zeros((0, 1), np.float32),
+                False)
+    hl = k // 2
+    cl = min(cap, sigma ** hl)
+    cr = min(cap, sigma ** (k - hl))
+    if window_block is None:
+        window_block = max(1, combine_budget_bytes // max(1, cl * cr * 4))
+    window_block = min(window_block, W)
+
+    out_c, out_s = [], []
+    overflow = False
     with jax.enable_x64():
-        codes, scores, overflow = _enumerate_sparse_jit(
-            jnp.asarray(P, jnp.float32), jnp.asarray(prefix, jnp.float32),
-            jnp.float32(log_threshold), k=k, sigma=sigma, bits=bits, cap=cap)
-        return (np.asarray(codes, dtype=np.uint64),
-                np.asarray(scores, dtype=np.float32), bool(overflow))
+        for w0 in range(0, W, window_block):
+            bw = min(window_block, W - w0)
+            # windows [w0, w0+bw) need columns [w0, w0+bw+k-1); prefix is
+            # sliced consistently (only differences are used)
+            Pb = jnp.asarray(P[w0:w0 + bw + k - 1])
+            prefb = jnp.asarray(prefix[w0:w0 + bw + k - 1 + 1])
+            codes, scores, ovf = _enumerate_sparse_jit(
+                Pb, prefb, jnp.float32(log_threshold), k=k, sigma=sigma,
+                bits=bits, cap=cap)
+            out_c.append(np.asarray(codes, dtype=np.uint64))
+            out_s.append(np.asarray(scores, dtype=np.float32))
+            overflow = overflow or bool(ovf)
+    width = max(c.shape[1] for c in out_c)
+    if any(c.shape[1] != width for c in out_c):  # ragged tail (cap vs full)
+        out_c = [np.pad(c, ((0, 0), (0, width - c.shape[1]))) for c in out_c]
+        out_s = [np.pad(s, ((0, 0), (0, width - s.shape[1])),
+                        constant_values=NEG_INF) for s in out_s]
+    return np.concatenate(out_c), np.concatenate(out_s), overflow
 
 
 def merge_window_lists(codes: np.ndarray, scores: np.ndarray

@@ -92,20 +92,26 @@ def build_database(p: BuildParams) -> Optional[BuildResult]:
     aln.save_alignment(extended, fasta_path, "fasta")
     aln.save_alignment(extended, phylip_path, "phylip")
 
-    # L4: ancestral reconstruction (subprocess or --ar-dir replay)
-    ar_params = bridge.ArParameters(
-        binary_file=p.ar_binary, ar_dir=p.ar_dir,
-        ar_parameters=p.ar_parameters, model=p.model, alpha=p.alpha,
-        categories=p.categories, num_threads=p.num_threads,
-        tree_file=ext_tree_file, alignment_file=phylip_path)
-    if p.ar_dir:
-        software = "raxml-ng"  # replay only supports raxml-ng outputs
+    # L4: ancestral reconstruction (native TPU, subprocess, or --ar-dir replay)
+    if p.ar_binary == "native" and not p.ar_dir:
+        from .ar.native import run_native_ar
+        probs_file, ar_tree_file = run_native_ar(
+            extended_tree, extended, p.working_dir, traits,
+            alpha=p.alpha, categories=p.categories)
     else:
-        binary = p.ar_binary or bridge.find_raxmlng()
-        ar_params.binary_file = binary
-        software = bridge.guess_software(binary, p.working_dir)
-    probs_file, ar_tree_file = bridge.run_ancestral_reconstruction(
-        software, ar_params)
+        ar_params = bridge.ArParameters(
+            binary_file=p.ar_binary, ar_dir=p.ar_dir,
+            ar_parameters=p.ar_parameters, model=p.model, alpha=p.alpha,
+            categories=p.categories, num_threads=p.num_threads,
+            tree_file=ext_tree_file, alignment_file=phylip_path)
+        if p.ar_dir:
+            software = "raxml-ng"  # replay only supports raxml-ng outputs
+        else:
+            binary = p.ar_binary or bridge.find_raxmlng()
+            ar_params.binary_file = binary
+            software = bridge.guess_software(binary, p.working_dir)
+        probs_file, ar_tree_file = bridge.run_ancestral_reconstruction(
+            software, ar_params)
 
     if p.ar_only:
         if p.verbosity > 0:

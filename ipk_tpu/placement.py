@@ -50,6 +50,11 @@ class PlacementIndex:
         # branch id -> dense column
         self.branch_ids = np.unique(db.branches)
         self.branch_col = {int(b): i for i, b in enumerate(self.branch_ids)}
+        self._col_lut = np.zeros(int(self.branch_ids.max()) + 1
+                                 if len(self.branch_ids) else 1,
+                                 dtype=np.int64)
+        self._col_lut[self.branch_ids] = np.arange(len(self.branch_ids))
+        self._entry_cols = self._col_lut[self.entry_branches]
         self.log_threshold = np.log10(
             score_threshold(db.omega, traits.alphabet_size, db.kmer_size))
 
@@ -83,11 +88,17 @@ class PlacementIndex:
             return self.branch_ids, total, 0
         pos = np.searchsorted(self.sorted_keys, keys)
         pos = np.clip(pos, 0, len(self.sorted_keys) - 1)
-        hit = self.sorted_keys[pos] == keys
-        for p in pos[hit]:
-            lo, hi = self.entry_offsets[p], self.entry_offsets[p + 1]
-            cols = [self.branch_col[int(b)] for b in self.entry_branches[lo:hi]]
-            total[cols] += self.entry_scores[lo:hi] - self.log_threshold
+        hit_pos = pos[self.sorted_keys[pos] == keys]
+        if len(hit_pos):
+            # expand [lo, hi) entry ranges of all hits without a Python loop
+            lo = self.entry_offsets[hit_pos]
+            lens = self.entry_offsets[hit_pos + 1] - lo
+            starts = np.repeat(lo, lens)
+            offs = (np.arange(lens.sum())
+                    - np.repeat(np.cumsum(lens) - lens, lens))
+            flat = starts + offs
+            np.add.at(total, self._entry_cols[flat],
+                      self.entry_scores[flat] - self.log_threshold)
         return self.branch_ids, total, len(keys)
 
 

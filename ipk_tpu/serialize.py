@@ -21,10 +21,18 @@ little-endian primitives, length-prefixed strings):
              f32 omega
              u8  positions flag           (aa-pos variant)
              u64 num_kmers, u64 num_entries
-    record:  u64 key, f32 filter_value, u64 count,
-             count * (u32 branch, f32 score[, u32 position])
+    records (columnar, rows in ascending (filter_value, key) order):
+             u64  keys[num_kmers]
+             f32  filter_values[num_kmers]
+             u64  counts[num_kmers]       (entries per k-mer)
+             u32  branches[num_entries]
+             f32  scores[num_entries]
+             u32  positions[num_entries]  (only when positions flag)
 
-Unlike the reference's ``ipkdiff`` (which always exits 0,
+The record section is columnar rather than the reference's per-record stream:
+whole-array numpy IO is ~2 orders of magnitude faster at production DB sizes
+and compresses better; the logical content (per-k-mer entry lists in filter
+order) is identical. Unlike the reference's ``ipkdiff`` (which always exits 0,
 ``tools/src/diff.cpp:115-116``), our diff tool fails properly — see
 ``ipk_tpu.cli``.
 """
@@ -92,6 +100,9 @@ class IpkWriter:
     def __init__(self, filename: str, compressed: bool = True):
         self._file: BinaryIO = open(filename, "wb")
         self._z = zlib.compressobj(6) if compressed else None
+        self._positions = False
+        self._keys, self._fvs, self._counts = [], [], []
+        self._branches, self._scores, self._pos = [], [], []
         self._write(_MAGIC)
 
     def _write(self, data: bytes) -> None:
@@ -119,21 +130,45 @@ class IpkWriter:
     def write_kmer(self, key: int, filter_value: float,
                    branches: np.ndarray, scores: np.ndarray,
                    positions: Optional[np.ndarray] = None) -> None:
-        """One record (cf. ``i2l::save_phylo_kmer``, ``db_builder.cpp:327``)."""
-        n = len(branches)
-        out = io.BytesIO()
-        out.write(struct.pack("<QfQ", int(key), np.float32(filter_value), n))
+        """Queue one logical record (cf. ``i2l::save_phylo_kmer``,
+        ``db_builder.cpp:327``); the columnar section is emitted on
+        :meth:`close` / :meth:`flush_columns`."""
+        self._keys.append(int(key))
+        self._fvs.append(np.float32(filter_value))
+        self._counts.append(len(branches))
+        self._branches.append(np.asarray(branches, dtype=np.uint32))
+        self._scores.append(np.asarray(scores, dtype=np.float32))
         if positions is not None:
-            rec = np.empty(n, dtype=[("b", "<u4"), ("s", "<f4"), ("p", "<u4")])
-            rec["p"] = positions
-        else:
-            rec = np.empty(n, dtype=[("b", "<u4"), ("s", "<f4")])
-        rec["b"] = branches
-        rec["s"] = scores
-        out.write(rec.tobytes())
-        self._write(out.getvalue())
+            self._pos.append(np.asarray(positions, dtype=np.uint32))
+
+    def write_columns(self, keys, filter_values, counts, branches, scores,
+                      positions=None) -> None:
+        """Vectorized whole-DB record section."""
+        self._write(np.ascontiguousarray(keys, dtype="<u8").tobytes())
+        self._write(np.ascontiguousarray(filter_values, dtype="<f4").tobytes())
+        self._write(np.ascontiguousarray(counts, dtype="<u8").tobytes())
+        self._write(np.ascontiguousarray(branches, dtype="<u4").tobytes())
+        self._write(np.ascontiguousarray(scores, dtype="<f4").tobytes())
+        if self._positions:
+            self._write(np.ascontiguousarray(positions,
+                                             dtype="<u4").tobytes())
+
+    def flush_columns(self) -> None:
+        if self._keys:
+            self.write_columns(
+                np.array(self._keys, dtype=np.uint64),
+                np.array(self._fvs, dtype=np.float32),
+                np.array(self._counts, dtype=np.uint64),
+                np.concatenate(self._branches) if self._branches
+                else np.zeros(0, np.uint32),
+                np.concatenate(self._scores) if self._scores
+                else np.zeros(0, np.float32),
+                np.concatenate(self._pos) if self._pos else None)
+        self._keys, self._fvs, self._counts = [], [], []
+        self._branches, self._scores, self._pos = [], [], []
 
     def close(self) -> None:
+        self.flush_columns()
         if self._z is not None:
             self._file.write(self._z.flush())
             self._z = None
@@ -147,14 +182,11 @@ class IpkWriter:
 
 
 def save(db: PhyloKmerDB, filename: str, compressed: bool = True) -> None:
-    """Serialize a whole DB in its stored row order."""
+    """Serialize a whole DB in its stored row order (vectorized)."""
     with IpkWriter(filename, compressed=compressed) as w:
         w.write_header(db, db.size(), db.num_entries())
-        for row in range(db.size()):
-            lo, hi = db.offsets[row], db.offsets[row + 1]
-            w.write_kmer(db.keys[row], db.filter_values[row],
-                         db.branches[lo:hi], db.scores[lo:hi],
-                         None if db.positions is None else db.positions[lo:hi])
+        w.write_columns(db.keys, db.filter_values, np.diff(db.offsets),
+                        db.branches, db.scores, db.positions)
 
 
 def _decompress(raw: bytes) -> bytes:
@@ -184,26 +216,21 @@ def load(filename: str) -> PhyloKmerDB:
     num_entries = r.u64()
 
     db = PhyloKmerDB(kmer_size, omega, sequence_type, tree, tree_index, version)
-    keys = np.empty(num_kmers, dtype=np.uint64)
-    fvs = np.empty(num_kmers, dtype=np.float32)
+
+    def column(dtype, n):
+        dt = np.dtype(dtype)
+        return np.frombuffer(r.take(n * dt.itemsize), dtype=dt).copy()
+
+    keys = column("<u8", num_kmers)
+    fvs = column("<f4", num_kmers)
+    counts = column("<u8", num_kmers)
+    branches = column("<u4", num_entries)
+    scores = column("<f4", num_entries)
+    positions = column("<u4", num_entries) if has_positions else None
     offsets = np.zeros(num_kmers + 1, dtype=np.int64)
-    branches = np.empty(num_entries, dtype=np.uint32)
-    scores = np.empty(num_entries, dtype=np.float32)
-    positions = np.empty(num_entries, dtype=np.uint32) if has_positions else None
-    entry_dtype = (np.dtype([("b", "<u4"), ("s", "<f4"), ("p", "<u4")])
-                   if has_positions else np.dtype([("b", "<u4"), ("s", "<f4")]))
-    pos = 0
-    for i in range(num_kmers):
-        keys[i], fvs[i], n = struct.unpack("<QfQ", r.take(20))
-        rec = np.frombuffer(r.take(n * entry_dtype.itemsize), dtype=entry_dtype)
-        branches[pos:pos + n] = rec["b"]
-        scores[pos:pos + n] = rec["s"]
-        if has_positions:
-            positions[pos:pos + n] = rec["p"]
-        pos += n
-        offsets[i + 1] = pos
-    if pos != num_entries:
-        raise RuntimeError(f"Corrupt .ipk: {pos} entries read, "
+    np.cumsum(counts.astype(np.int64), out=offsets[1:])
+    if offsets[-1] != num_entries:
+        raise RuntimeError(f"Corrupt .ipk: {offsets[-1]} entries indexed, "
                            f"{num_entries} declared")
     db.set_data(keys, fvs, offsets, branches, scores, positions)
     return db
