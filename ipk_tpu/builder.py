@@ -75,7 +75,9 @@ def pick_key_batches(B: int, nl: int, nr: int,
     kernel keeps the tile resident across window blocks)."""
     total = B * nl * nr * 4
     batches = max(1, -(-total // budget_bytes),
-                  -(-(nl * nr * 4) // vmem_tile_bytes))
+                  -(-(nl * nr * 4) // vmem_tile_bytes),
+                  # device compaction uses int32 flat indices per batch
+                  -(-(B * nl * nr) // ((1 << 31) - 1)))
     # prefer equal slices whose sublane count is a multiple of 8 (hardware
     # tile alignment for the fused kernel); fall back to plain divisibility
     for b in range(batches, nl + 1):
@@ -102,8 +104,11 @@ def _enumerate_batches(P_all: np.ndarray, prefix_all: np.ndarray, *,
                        k: int, sigma: int, eps: np.float32,
                        ghosts_per_group: int, key_batches: int,
                        backend: str, block_w: int, keep_positions: bool,
-                       ) -> Iterator[Tuple[int, np.ndarray, Optional[np.ndarray]]]:
-    """Yield (dense_key_lo, A[B, chunk], pos[B, chunk] or None) per batch."""
+                       ) -> Iterator[tuple]:
+    """Yield per key batch:
+    ("dense", lo, A[B, chunk], pos[B, chunk] or None) for positions builds,
+    ("compact", lo, B, chunk, flat_idx, scores) otherwise — survivors are
+    compacted on device so only they cross to the host."""
     hl = k // 2
     hr = k - hl
     nl, nr = sigma ** hl, sigma ** hr
@@ -123,7 +128,7 @@ def _enumerate_batches(P_all: np.ndarray, prefix_all: np.ndarray, *,
             pos_g = pos_g.reshape(pos_g.shape[0], -1)
             A, pos = dense.group_max_with_positions(A_g, pos_g,
                                                    ghosts_per_group)
-            yield b * step * nr, np.asarray(A), np.asarray(pos)
+            yield "dense", b * step * nr, np.asarray(A), np.asarray(pos)
         else:
             if backend == "pallas":
                 from .core.pallas_kernels import combine_max
@@ -132,7 +137,9 @@ def _enumerate_batches(P_all: np.ndarray, prefix_all: np.ndarray, *,
                 A_g = dense.combine_max_jnp(Lb, R, eps, block_w=block_w)
             A_g = A_g.reshape(A_g.shape[0], -1)
             A = dense.group_max(A_g, ghosts_per_group)
-            yield b * step * nr, np.asarray(A), None
+            flat_idx, scores = dense.compact_survivors(A)
+            B = A.shape[0]
+            yield ("compact", b * step * nr, B, step * nr, flat_idx, scores)
 
 
 #: Dense accumulators above this candidate-space size switch to the sparse
@@ -256,12 +263,60 @@ def _extract_batch(A: np.ndarray, lo: int, pos: Optional[np.ndarray],
                  if pos is not None else None)
 
     if filter_type == "mif0":
-        fv = mif0_filter_values(A, mask, total_num_groups, threshold)[cols]
+        # entries-based filter: the single mif0 implementation shared by the
+        # dense, compacted and sparse paths (identical f64 summation order →
+        # identical filter values and therefore identical DB ordering)
+        fv = mif0_filter_values_entries(scores, key_rows, len(cols),
+                                        total_num_groups, threshold)
     elif filter_type == "random":
         fv = rng_stream.take(len(cols)).astype(np.float64)
     else:
         raise RuntimeError("Error: Unsupported filter type.")
     return keys, fv, counts, branches, scores, positions
+
+
+def _extract_compact(flat_idx: np.ndarray, scores: np.ndarray, B: int,
+                     chunk: int, lo: int, group_ids, k: int,
+                     traits: SeqTraits, total_num_groups: int,
+                     threshold: float, filter_type: str,
+                     rng_stream: Optional[RandomFilterStream],
+                     merge_branches: bool):
+    """Device-compacted batch → unsorted DB arrays (same contract as
+    :func:`_extract_batch`). flat_idx is row-major over [B, chunk]."""
+    b_rows = (flat_idx // chunk).astype(np.int64)
+    key_local = (flat_idx % chunk).astype(np.int64)
+    order = np.lexsort((b_rows, key_local))       # key-major, group order
+    key_local, b_rows = key_local[order], b_rows[order]
+    scores = scores[order]
+
+    if merge_branches:
+        sub = np.lexsort((b_rows, -scores.astype(np.float64), key_local))
+        ks, ss, bs = key_local[sub], scores[sub], b_rows[sub]
+        first = np.ones(len(ks), dtype=bool)
+        first[1:] = ks[1:] != ks[:-1]
+        key_local, scores, b_rows = ks[first], ss[first], bs[first]
+        order2 = np.lexsort((b_rows, key_local))
+        key_local, scores, b_rows = (key_local[order2], scores[order2],
+                                     b_rows[order2])
+
+    first = np.ones(len(key_local), dtype=bool)
+    if len(key_local):
+        first[1:] = key_local[1:] != key_local[:-1]
+    uniq = key_local[first]
+    keys = dense_index_to_key(uniq.astype(np.uint64) + np.uint64(lo), k,
+                              traits)
+    key_index = np.cumsum(first) - 1
+    counts = np.bincount(key_index, minlength=len(uniq)).astype(np.int64)
+    branches = np.asarray(group_ids, dtype=np.uint32)[b_rows]
+
+    if filter_type == "mif0":
+        fv = mif0_filter_values_entries(scores, key_index, len(uniq),
+                                        total_num_groups, threshold)
+    elif filter_type == "random":
+        fv = rng_stream.take(len(uniq)).astype(np.float64)
+    else:
+        raise RuntimeError("Error: Unsupported filter type.")
+    return keys, fv, counts, branches, scores.astype(np.float32), None
 
 
 def _sort_batch(keys, fv, counts, branches, scores, positions):
@@ -377,7 +432,7 @@ def build(original_tree: PhyloTree,
         A_full = sharded_enumerate(
             mesh, P_all, prefix_all, eps, k=kmer_size, sigma=sigma,
             ghosts_per_group=ghosts_per_group, block_w=block_w)
-        batches = iter([(0, A_full, None)])
+        batches = iter([("dense", 0, A_full, None)])
     else:
         batches = _enumerate_batches(
             P_all, prefix_all, k=kmer_size, sigma=sigma, eps=eps,
@@ -405,12 +460,22 @@ def build(original_tree: PhyloTree,
 
     if use_sparse:
         handle_part(0, sparse_part)
-    for batch_idx, (lo, A, pos) in enumerate(batches):
-        num_explored += int(np.isfinite(A).sum())
-        handle_part(batch_idx, _extract_batch(
-            A, lo, pos, group_ids, kmer_size, traits,
-            original_tree.get_node_count(), threshold,
-            filter_type, rng_stream, merge_branches))
+    for batch_idx, batch in enumerate(batches):
+        if batch[0] == "dense":
+            _, lo, A, pos = batch
+            num_explored += int(np.isfinite(A).sum())
+            part = _extract_batch(
+                A, lo, pos, group_ids, kmer_size, traits,
+                original_tree.get_node_count(), threshold,
+                filter_type, rng_stream, merge_branches)
+        else:
+            _, lo, B, chunk, flat_idx, scores = batch
+            num_explored += len(flat_idx)
+            part = _extract_compact(
+                flat_idx, scores, B, chunk, lo, group_ids, kmer_size, traits,
+                original_tree.get_node_count(), threshold,
+                filter_type, rng_stream, merge_branches)
+        handle_part(batch_idx, part)
     timings["computation"] = time.monotonic() - t0
     if verbose > 0:
         print(f"Computation time: {timings['computation']*1e3:.0f} ms")

@@ -352,6 +352,28 @@ def group_max_with_positions(A_ghost: jnp.ndarray, pos_ghost: jnp.ndarray,
     return best_A, best_pos
 
 
+def compact_survivors(A) -> Tuple[np.ndarray, np.ndarray]:
+    """Device-side survivor compaction: (flat row-major indices, scores).
+
+    Transfers only surviving entries to the host instead of the dense
+    accumulator (at DNA k≥10 the dense [B, σ^k] tensor reaches GBs while
+    survivors are typically 100-1000× fewer). The padded-size nonzero keeps
+    shapes static per power-of-two bucket. Caller must ensure A.size < 2^31
+    (indices are int32 without x64); the key-batch picker enforces this.
+    """
+    A = A if isinstance(A, jnp.ndarray) else jnp.asarray(A)
+    flat = A.ravel()
+    mask = jnp.isfinite(flat)
+    count = int(mask.sum())
+    if count == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.float32)
+    size = 1 << (count - 1).bit_length()
+    idx = jnp.nonzero(mask, size=size, fill_value=0)[0]
+    scores = flat[idx]
+    return (np.asarray(idx[:count]).astype(np.int64),
+            np.asarray(scores[:count], dtype=np.float32))
+
+
 def group_max(A_ghost: jnp.ndarray, ghosts_per_group: int) -> jnp.ndarray:
     """Merge ghosts of the same original branch by max.
 

@@ -149,7 +149,8 @@ def test_positions_earliest_window_tiebreak(tmp_path):
     batches = list(b._enumerate_batches(
         P, prefix, k=2, sigma=4, eps=eps, ghosts_per_group=2,
         key_batches=1, backend="jnp", block_w=4, keep_positions=True))
-    lo, A, pos = batches[0]
+    tag, lo, A, pos = batches[0]
+    assert tag == "dense"
     surv = np.isfinite(A)
     assert surv.any()
     assert (pos[surv] == 0).all()
