@@ -45,8 +45,8 @@ from .tree import PhyloTree, to_newick
 from .db import PhyloKmerDB
 from .core import dense
 from .core import sparse as sparse_mod
-from .core.filter import (RandomFilterStream, mif0_filter_values,
-                          mif0_filter_values_entries, score_threshold)
+from .core.filter import (RandomFilterStream, mif0_filter_values_entries,
+                          score_threshold)
 from .ar.mapping import gather_ghost_tensor, ghost_groups
 from . import serialize
 
@@ -285,19 +285,18 @@ def _extract_compact(flat_idx: np.ndarray, scores: np.ndarray, B: int,
     :func:`_extract_batch`). flat_idx is row-major over [B, chunk]."""
     b_rows = (flat_idx // chunk).astype(np.int64)
     key_local = (flat_idx % chunk).astype(np.int64)
-    order = np.lexsort((b_rows, key_local))       # key-major, group order
-    key_local, b_rows = key_local[order], b_rows[order]
-    scores = scores[order]
-
     if merge_branches:
+        # best entry per key (ties -> lowest group row); the key-primary sort
+        # leaves the deduped keys already in ascending order
         sub = np.lexsort((b_rows, -scores.astype(np.float64), key_local))
         ks, ss, bs = key_local[sub], scores[sub], b_rows[sub]
         first = np.ones(len(ks), dtype=bool)
         first[1:] = ks[1:] != ks[:-1]
         key_local, scores, b_rows = ks[first], ss[first], bs[first]
-        order2 = np.lexsort((b_rows, key_local))
-        key_local, scores, b_rows = (key_local[order2], scores[order2],
-                                     b_rows[order2])
+    else:
+        order = np.lexsort((b_rows, key_local))   # key-major, group order
+        key_local, b_rows = key_local[order], b_rows[order]
+        scores = scores[order]
 
     first = np.ones(len(key_local), dtype=bool)
     if len(key_local):

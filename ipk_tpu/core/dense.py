@@ -362,6 +362,10 @@ def compact_survivors(A) -> Tuple[np.ndarray, np.ndarray]:
     (indices are int32 without x64); the key-batch picker enforces this.
     """
     A = A if isinstance(A, jnp.ndarray) else jnp.asarray(A)
+    if A.size >= (1 << 31):
+        raise ValueError(
+            f"compact_survivors: accumulator batch of {A.size} elements "
+            "exceeds int32 index range; increase key_batches")
     flat = A.ravel()
     mask = jnp.isfinite(flat)
     count = int(mask.sum())
