@@ -201,6 +201,9 @@ def main():
     entries, secs = distributed_mi(P, k, sigma, eps, omega)
     record("branches_2048_mi", {"entries": entries, "seconds": secs})
 
+    # 6. placement serving throughput
+    record("placement_serving", placement_bench(rng))
+
     out = os.path.join(REPO, "benchmarks", "results.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
@@ -209,3 +212,30 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def placement_bench(rng, K=500_000, B=512, k=10, Q=20480, L=150):
+    """Serving throughput: batch placement against a synthetic DB."""
+    from ipk_tpu.db import PhyloKmerDB
+    from ipk_tpu.placement import TpuPlacementIndex
+    keys = np.sort(rng.permutation(4 ** k)[:K].astype(np.uint64))
+    counts = rng.integers(1, 20, size=K)
+    E = int(counts.sum())
+    offsets = np.zeros(K + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    db = PhyloKmerDB(k, 1.5, "nucl", "(a,b)r;", [])
+    db.set_data(keys, np.zeros(K, np.float32), offsets,
+                rng.integers(0, B, size=E).astype(np.uint32),
+                rng.uniform(-4, 0, size=E).astype(np.float32))
+    idx = TpuPlacementIndex(db)
+    reads = ["".join(r) for r in rng.choice(list("ACGT"), size=(2048, L))]
+    reads = reads * (Q // 2048)
+    idx.place_batch(reads[:4096])  # compile
+    best = 1e18
+    for _ in range(3):
+        t0 = time.monotonic()
+        idx.place_batch(reads)
+        best = min(best, time.monotonic() - t0)
+    return {"reads": len(reads), "seconds": best,
+            "reads_per_sec": len(reads) / best,
+            "db_kmers": K, "branches": B}

@@ -102,26 +102,142 @@ class PlacementIndex:
         return self.branch_ids, total, len(keys)
 
 
+class TpuPlacementIndex:
+    """Device-resident placement index for batch serving.
+
+    The DB becomes a dense score matrix ``M[K+2, B]`` in HBM: row r<K holds
+    the r-th key's per-branch log scores with the threshold imputed for
+    absent branches; row K is the all-threshold sentinel (k-mer not in the
+    DB); row K+1 is all-zero (invalid window — ambiguity/gap — contributing
+    nothing, matching the host scorer which skips such windows). Scoring a
+    batch of queries is then one ``searchsorted`` + one gather + a window
+    reduction on device — the serving-scale path (~10^5-10^6 reads per call).
+    """
+
+    def __init__(self, db: PhyloKmerDB):
+        import jax
+        import jax.numpy as jnp
+        self._jnp = jnp
+        self.host = PlacementIndex(db)
+        h = self.host
+        K = len(h.sorted_keys)
+        B = len(h.branch_ids)
+        M = np.full((K + 2, B), h.log_threshold, dtype=np.float32)
+        rows = np.repeat(np.arange(K),
+                         np.diff(h.entry_offsets).astype(np.int64))
+        M[rows, h._entry_cols] = h.entry_scores.astype(np.float32)
+        M[K + 1] = 0.0
+        self.K = K
+        self._M = jax.device_put(M)
+
+        @jax.jit
+        def score(M_dev, rows):
+            # rows [Q, W] int32 into M (K = miss sentinel, K+1 = invalid);
+            # M must be an argument, not a closure capture — captured device
+            # arrays are baked into the compile payload as constants
+            return M_dev[rows].sum(axis=1)      # [Q, W, B] -> [Q, B]
+
+        self._score = lambda rows: score(self._M, rows)
+
+    def _window_keys(self, sequences: List[str]):
+        """Vectorized [Q, Wmax] packed keys + validity for a batch."""
+        h = self.host
+        k = h.k
+        lut = h.traits.codes_lut()
+        bits = np.uint64(h.traits.bits_per_symbol)
+        Lmax = max((len(s) for s in sequences), default=k)
+        Lmax = max(Lmax, k)
+        if sequences and all(len(s) == Lmax for s in sequences):
+            # uniform read length (the common serving case): one big decode
+            buf = np.frombuffer("".join(sequences).encode("ascii"),
+                                np.uint8).reshape(len(sequences), Lmax)
+        else:
+            # ragged: pad to Lmax with an invalid byte
+            buf = np.full((len(sequences), Lmax), ord("-"), dtype=np.uint8)
+            for qi, s in enumerate(sequences):
+                buf[qi, :len(s)] = np.frombuffer(s.encode("ascii"), np.uint8)
+        codes = lut[buf]                                    # [Q, Lmax]
+        win = np.lib.stride_tricks.sliding_window_view(codes, k, axis=1)
+        valid = (win >= 0).all(axis=2)
+        wu = np.where(win < 0, 0, win).astype(np.uint64)
+        keys = np.zeros(wu.shape[:2], dtype=np.uint64)
+        for i in range(k):
+            keys = (keys << bits) | wu[:, :, i]
+        return keys, valid
+
+    def place_batch(self, sequences: List[str], device_batch: int = 2048):
+        """Per-branch totals for a batch of query sequences.
+
+        Returns (branch_ids [B], totals [Q, B] f32, kmer counts [Q]).
+        Device calls use fixed [device_batch, W] shapes (padded) so the
+        scorer compiles once per read length, not per call.
+        """
+        h = self.host
+        Q = len(sequences)
+        keys_pad, valid_pad = self._window_keys(sequences)
+        # key lookup on host (uint64 searchsorted lowers pathologically on
+        # TPU); the device does the expensive [Q, W, B] gather + reduction
+        pos = np.searchsorted(h.sorted_keys, keys_pad).clip(0, self.K - 1)
+        hit = (h.sorted_keys[pos] == keys_pad) & valid_pad
+        rows = np.where(hit, pos,
+                        np.where(valid_pad, self.K, self.K + 1)
+                        ).astype(np.int32)
+        totals = np.empty((Q, len(h.branch_ids)), dtype=np.float32)
+        bq = min(device_batch, max(Q, 1))
+        for start in range(0, Q, bq):
+            chunk = rows[start:start + bq]
+            if len(chunk) < bq:  # pad to the fixed shape; K+1 row is zero
+                fill = np.full((bq - len(chunk), rows.shape[1]), self.K + 1,
+                               dtype=np.int32)
+                chunk = np.concatenate([chunk, fill])
+            out = np.asarray(self._score(chunk), dtype=np.float32)
+            totals[start:start + bq] = out[:Q - start]
+        # padded invalid slots contributed 0; absent-branch baseline for the
+        # invalid windows is already excluded (matching the host scorer)
+        return h.branch_ids, totals, valid_pad.sum(axis=1)
+
+
+def _rank(name: str, branch_ids: np.ndarray, totals: np.ndarray,
+          top: int) -> Dict:
+    order = np.argsort(-totals.astype(np.float64), kind="stable")[:top]
+    sel = totals[order].astype(np.float64)
+    weights = np.power(10.0, sel - sel.max())
+    weights /= weights.sum()
+    return {"p": [[int(branch_ids[i]), float(totals[i]), float(w)]
+                  for i, w in zip(order, weights)],
+            "n": [name]}
+
+
 def place_queries(db: PhyloKmerDB, queries: Iterable[Tuple[str, str]],
-                  top: int = 7) -> List[Dict]:
+                  top: int = 7, engine: str = "auto",
+                  batch_size: int = 4096) -> List[Dict]:
     """Rank branches for each (name, sequence) query. Returns jplace-style
-    placement dicts."""
-    index = PlacementIndex(db)
+    placement dicts.
+
+    engine: "host" (per-query numpy), "tpu" (device batch scorer), or "auto"
+    (device for large query sets). Both produce the same totals.
+    """
+    queries = list(queries)
+    if engine == "auto":
+        engine = "tpu" if len(queries) >= 64 else "host"
     placements = []
-    for name, seq in queries:
-        branch_ids, totals, n_kmers = index.score_query(seq)
+    if engine == "host":
+        index = PlacementIndex(db)
+        for name, seq in queries:
+            branch_ids, totals, _ = index.score_query(seq)
+            if len(branch_ids) == 0:
+                continue
+            placements.append(_rank(name, branch_ids,
+                                    totals.astype(np.float32), top))
+        return placements
+    tpu = TpuPlacementIndex(db)
+    for start in range(0, len(queries), batch_size):
+        chunk = queries[start:start + batch_size]
+        branch_ids, totals, _ = tpu.place_batch([s for _, s in chunk])
         if len(branch_ids) == 0:
             continue
-        order = np.argsort(-totals, kind="stable")[:top]
-        # like_weight_ratio over the reported branches
-        sel = totals[order]
-        weights = np.power(10.0, sel - sel.max())
-        weights /= weights.sum()
-        placements.append({
-            "p": [[int(branch_ids[i]), float(totals[i]), float(w)]
-                  for i, w in zip(order, weights)],
-            "n": [name],
-        })
+        for qi, (name, _) in enumerate(chunk):
+            placements.append(_rank(name, branch_ids, totals[qi], top))
     return placements
 
 

@@ -79,3 +79,39 @@ def test_place_cli_jplace(tmp_path):
     edge_nums = {p[0] for pl in doc["placements"] for p in pl["p"]}
     db = serialize.load(out)
     assert edge_nums <= set(int(b) for b in db.branches)
+
+
+def test_tpu_index_matches_host(tmp_path):
+    """Device batch scorer must agree with the host scorer exactly."""
+    from ipk_tpu.placement import TpuPlacementIndex
+    out, fasta = build_db(tmp_path)
+    db = serialize.load(out)
+    host = PlacementIndex(db)
+    tpu = TpuPlacementIndex(db)
+    from ipk_tpu.alignment import read_fasta
+    seqs = [s for _, s in read_fasta(fasta)]
+    seqs.append("ACGNACGTAC")   # ambiguity
+    seqs.append("ACG")          # shorter than k
+    branch_ids, totals, counts = tpu.place_batch(seqs)
+    np.testing.assert_array_equal(branch_ids, host.branch_ids)
+    for qi, seq in enumerate(seqs):
+        b, expected, n = host.score_query(seq)
+        assert counts[qi] == n
+        np.testing.assert_allclose(totals[qi], expected.astype(np.float32),
+                                   rtol=1e-6, atol=1e-5)
+
+
+def test_engines_agree(tmp_path):
+    out, fasta = build_db(tmp_path)
+    db = serialize.load(out)
+    from ipk_tpu.alignment import read_fasta
+    queries = list(read_fasta(fasta))
+    host = place_queries(db, queries, top=3, engine="host")
+    tpu = place_queries(db, queries, top=3, engine="tpu")
+    assert len(host) == len(tpu)
+    for a, b in zip(host, tpu):
+        assert a["n"] == b["n"]
+        assert [p[0] for p in a["p"]] == [p[0] for p in b["p"]]
+        np.testing.assert_allclose([p[1] for p in a["p"]],
+                                   [p[1] for p in b["p"]], rtol=1e-5,
+                                   atol=1e-4)
