@@ -50,6 +50,8 @@ def run_tpu(P_all):
     inside the timed region: the experimental tunnel platform's
     block_until_ready is not a reliable completion barrier."""
     import functools
+    from ipk_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     from ipk_tpu.core import dense
     from ipk_tpu.core.pallas_kernels import combine_max

@@ -130,6 +130,8 @@ def build(ar, refalign, reftree, states, verbosity, workdir, alpha, categories,
           merge_branches, ar_dir, ar_only, ar_config, keep_positions,
           uncompressed, threads, output, on_disk, max_candidates, profile_dir):
     """Compute a database of phylo-k-mers."""
+    from .utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from .pipeline import BuildParams, build_database
     if states == "nucl" and keep_positions:
         raise click.ClickException("--keep-positions is not supported for DNA.")
