@@ -231,17 +231,36 @@ def ancestral_posteriors(tree: PhyloTree, align: Alignment,
 
 def run_native_ar(extended_tree: PhyloTree, align: Alignment,
                   working_dir: str, traits: SeqTraits = DNA,
-                  alpha: float = 1.0, categories: int = 4
-                  ) -> Tuple[str, str]:
+                  alpha: float = 1.0, categories: int = 4,
+                  optimize: bool = False, opt_steps: int = 200,
+                  verbosity: int = 1) -> Tuple[str, str]:
     """Compute posteriors and write raxml-ng-format artifacts under
-    ``<workdir>/AR/`` (probs TSV + labeled tree). Returns their paths."""
+    ``<workdir>/AR/`` (probs TSV + labeled tree). Returns their paths.
+
+    With ``optimize=True``, branch lengths / GTR rates / Γ alpha are first
+    ML-fitted on device (the native analog of raxml-ng's ``--opt-model on
+    --opt-branches on``, ``ar.cpp:684``); the optimized branch lengths are
+    written into the ancestralTree artifact, as raxml-ng does.
+    """
     from .reader import RAXML_AA_ORDER, aa_permutation
 
     ar_dir = os.path.join(working_dir, "AR")
     os.makedirs(ar_dir, exist_ok=True)
 
+    rates = None
+    freqs = None
+    source_tree = extended_tree
+    if optimize:
+        from .optimize import optimize_parameters, apply_branch_lengths
+        result = optimize_parameters(
+            extended_tree, align, traits, alpha=alpha, categories=categories,
+            steps=opt_steps, verbosity=verbosity)
+        source_tree = extended_tree.copy()
+        apply_branch_lengths(source_tree, result.branch_lengths)
+        rates, freqs, alpha = result.rates, result.freqs, result.alpha
+
     # AR-view tree: internal nodes labeled NodeN in postorder
-    ar_tree = extended_tree.copy()
+    ar_tree = source_tree.copy()
     counter = 0
     for node in postorder(ar_tree.root):
         if not node.is_leaf():
@@ -252,8 +271,9 @@ def run_native_ar(extended_tree: PhyloTree, align: Alignment,
     with open(tree_path, "w") as f:
         f.write(to_newick(ar_tree) + "\n")
 
-    internal, posts = ancestral_posteriors(extended_tree, align, traits,
-                                           alpha, categories)
+    internal, posts = ancestral_posteriors(source_tree, align, traits,
+                                           alpha, categories,
+                                           rates=rates, freqs=freqs)
     # file columns are in raxml order; our tensors are in i2l order — invert
     # the read-side permutation for amino acids (reader.py applies it again)
     if traits.alphabet_size == 20:

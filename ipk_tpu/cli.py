@@ -71,7 +71,8 @@ def ipk():
               help="Path to the ancestral reconstruction binary (RAxML-ng), "
                    "or the literal 'native' to use the built-in TPU "
                    "ancestral reconstruction (GTR+G, empirical frequencies; "
-                   "no branch/model re-optimization).")
+                   "add --ar-optimize to ML-fit branch lengths and model "
+                   "parameters on device).")
 @click.option("-r", "--refalign", type=click.Path(exists=True), required=True,
               help="Reference multiple sequence alignment in FASTA format.")
 @click.option("-t", "--reftree", type=click.Path(exists=True), required=True,
@@ -113,6 +114,12 @@ def ipk():
                                           file_okay=False))
 @click.option("--ar-only", is_flag=True, default=False, show_default=True)
 @click.option("--ar-config", required=False, type=click.Path(exists=True))
+@click.option("--ar-optimize", is_flag=True, default=False,
+              help="With --ar native: ML-optimize branch lengths, GTR rates "
+                   "and the Gamma shape before computing posteriors (the "
+                   "native analog of raxml-ng's --opt-model/--opt-branches).")
+@click.option("--ar-opt-steps", type=int, default=200, show_default=True,
+              help="Gradient steps for --ar-optimize.")
 @click.option("--keep-positions", is_flag=True, default=False)
 @click.option("--uncompressed", is_flag=True, default=False)
 @click.option("--threads", type=int, default=1, show_default=True)
@@ -127,8 +134,9 @@ def ipk():
 def build(ar, refalign, reftree, states, verbosity, workdir, alpha, categories,
           k, model, convert_uo, write_reduction, algorithm, no_reduction,
           reduction_ratio, omega, filter, mu, ghosts, use_unrooted,
-          merge_branches, ar_dir, ar_only, ar_config, keep_positions,
-          uncompressed, threads, output, on_disk, max_candidates, profile_dir):
+          merge_branches, ar_dir, ar_only, ar_config, ar_optimize,
+          ar_opt_steps, keep_positions, uncompressed, threads, output,
+          on_disk, max_candidates, profile_dir):
     """Compute a database of phylo-k-mers."""
     from .utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -141,7 +149,8 @@ def build(ar, refalign, reftree, states, verbosity, workdir, alpha, categories,
         output_filename=output or os.path.join(workdir, "DB.ipk"),
         ar_binary=ar or "", ar_dir=ar_dir or "",
         ar_parameters=parse_config(ar_config) if ar_config else "",
-        ar_only=ar_only, model=model or "GTR", alpha=alpha,
+        ar_only=ar_only, ar_optimize=ar_optimize, ar_opt_steps=ar_opt_steps,
+        model=model or "GTR", alpha=alpha,
         categories=categories, kmer_size=k, omega=omega, mu=mu,
         reduction_ratio=reduction_ratio, no_reduction=no_reduction,
         filter=filter, ghosts=ghosts, use_unrooted=use_unrooted,

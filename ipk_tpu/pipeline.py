@@ -41,6 +41,8 @@ class BuildParams:
     ar_dir: str = ""
     ar_parameters: str = ""
     ar_only: bool = False
+    ar_optimize: bool = False    # native AR: ML-fit branch lengths/rates/alpha
+    ar_opt_steps: int = 200
     model: str = "GTR"
     alpha: float = 1.0
     categories: int = 4
@@ -97,7 +99,9 @@ def build_database(p: BuildParams) -> Optional[BuildResult]:
         from .ar.native import run_native_ar
         probs_file, ar_tree_file = run_native_ar(
             extended_tree, extended, p.working_dir, traits,
-            alpha=p.alpha, categories=p.categories)
+            alpha=p.alpha, categories=p.categories,
+            optimize=p.ar_optimize, opt_steps=p.ar_opt_steps,
+            verbosity=p.verbosity)
     else:
         ar_params = bridge.ArParameters(
             binary_file=p.ar_binary, ar_dir=p.ar_dir,
