@@ -230,11 +230,11 @@ def placement_bench(rng, K=500_000, B=512, k=10, Q=20480, L=150):
     idx = TpuPlacementIndex(db)
     reads = ["".join(r) for r in rng.choice(list("ACGT"), size=(2048, L))]
     reads = reads * (Q // 2048)
-    idx.place_batch(reads[:4096])  # compile
+    idx.place_batch_topk(reads[:4096])  # compile
     best = 1e18
     for _ in range(3):
         t0 = time.monotonic()
-        idx.place_batch(reads)
+        idx.place_batch_topk(reads)
         best = min(best, time.monotonic() - t0)
     return {"reads": len(reads), "seconds": best,
             "reads_per_sec": len(reads) / best,

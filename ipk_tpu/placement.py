@@ -16,6 +16,7 @@ jplace v3 with edge numbers = original-tree postorder ids.
 
 from __future__ import annotations
 
+import functools
 import json
 from typing import Dict, Iterable, List, Tuple
 
@@ -129,6 +130,16 @@ class TpuPlacementIndex:
         M[K + 1] = 0.0
         self.K = K
         self._M = jax.device_put(M)
+        # dense key -> row LUT when the key space is small enough (DNA
+        # k <= 13): one fancy-index gather replaces searchsorted, which is
+        # the serving path's host bottleneck otherwise
+        space = h.traits.alphabet_size ** h.k
+        if space <= (1 << 26):
+            self._row_lut = np.full(space, K, dtype=np.int32)
+            self._row_lut[h.sorted_keys.astype(np.int64)] = np.arange(
+                K, dtype=np.int32)
+        else:
+            self._row_lut = None
 
         @jax.jit
         def score(M_dev, rows):
@@ -138,6 +149,31 @@ class TpuPlacementIndex:
             return M_dev[rows].sum(axis=1)      # [Q, W, B] -> [Q, B]
 
         self._score = lambda rows: score(self._M, rows)
+
+        @functools.partial(jax.jit, static_argnames=("top",))
+        def score_topk(M_dev, rows, top):
+            # rank on device and ship only the top-k (serving transfers
+            # collapse from [Q, B] to [Q, top] — the difference between
+            # being PCIe/tunnel-bound and HBM-bound)
+            totals = M_dev[rows].sum(axis=1)
+            vals, idx = jax.lax.top_k(totals, top)
+            return vals, idx
+
+        self._score_topk = (
+            lambda rows, top: score_topk(self._M, rows, top))
+
+    def _rows(self, keys_pad: np.ndarray, valid_pad: np.ndarray) -> np.ndarray:
+        """Map packed window keys to M rows (K = miss, K+1 = invalid)."""
+        h = self.host
+        if self._row_lut is not None:
+            found = self._row_lut[keys_pad.astype(np.int64)]
+            return np.where(valid_pad, found,
+                            np.int32(self.K + 1)).astype(np.int32)
+        pos = np.searchsorted(h.sorted_keys, keys_pad).clip(0, self.K - 1)
+        hit = (h.sorted_keys[pos] == keys_pad) & valid_pad
+        return np.where(hit, pos,
+                        np.where(valid_pad, self.K, self.K + 1)
+                        ).astype(np.int32)
 
     def _window_keys(self, sequences: List[str]):
         """Vectorized [Q, Wmax] packed keys + validity for a batch."""
@@ -157,12 +193,21 @@ class TpuPlacementIndex:
             for qi, s in enumerate(sequences):
                 buf[qi, :len(s)] = np.frombuffer(s.encode("ascii"), np.uint8)
         codes = lut[buf]                                    # [Q, Lmax]
-        win = np.lib.stride_tricks.sliding_window_view(codes, k, axis=1)
-        valid = (win >= 0).all(axis=2)
-        wu = np.where(win < 0, 0, win).astype(np.uint64)
-        keys = np.zeros(wu.shape[:2], dtype=np.uint64)
-        for i in range(k):
-            keys = (keys << bits) | wu[:, :, i]
+        Q, W = len(sequences), Lmax - k + 1
+        # validity via a cumulative bad-count (contiguous ops; the strided
+        # sliding_window_view reduction is ~20x slower at serving scale)
+        bad_count = np.zeros((Q, Lmax + 1), dtype=np.int32)
+        np.cumsum(codes < 0, axis=1, out=bad_count[:, 1:])
+        valid = (bad_count[:, k:] - bad_count[:, :-k]) == 0  # [Q, W]
+        # rolling MSB-first packing: O(L) passes over [Q] columns
+        cu = np.where(codes < 0, 0, codes).astype(np.uint64)
+        mask = np.uint64((1 << (int(bits) * k)) - 1)
+        acc = np.zeros(Q, dtype=np.uint64)
+        keys = np.empty((Q, W), dtype=np.uint64)
+        for j in range(Lmax):
+            acc = ((acc << bits) | cu[:, j]) & mask
+            if j >= k - 1:
+                keys[:, j - k + 1] = acc
         return keys, valid
 
     def place_batch(self, sequences: List[str], device_batch: int = 2048):
@@ -177,11 +222,7 @@ class TpuPlacementIndex:
         keys_pad, valid_pad = self._window_keys(sequences)
         # key lookup on host (uint64 searchsorted lowers pathologically on
         # TPU); the device does the expensive [Q, W, B] gather + reduction
-        pos = np.searchsorted(h.sorted_keys, keys_pad).clip(0, self.K - 1)
-        hit = (h.sorted_keys[pos] == keys_pad) & valid_pad
-        rows = np.where(hit, pos,
-                        np.where(valid_pad, self.K, self.K + 1)
-                        ).astype(np.int32)
+        rows = self._rows(keys_pad, valid_pad)
         totals = np.empty((Q, len(h.branch_ids)), dtype=np.float32)
         bq = min(device_batch, max(Q, 1))
         for start in range(0, Q, bq):
@@ -195,6 +236,35 @@ class TpuPlacementIndex:
         # padded invalid slots contributed 0; absent-branch baseline for the
         # invalid windows is already excluded (matching the host scorer)
         return h.branch_ids, totals, valid_pad.sum(axis=1)
+
+    def place_batch_topk(self, sequences: List[str], top: int = 7,
+                         device_batch: int = 2048):
+        """Device-ranked serving path: per-query top-``top`` branches only.
+
+        Returns (branch_ids [Q, top], scores [Q, top] f32, kmer counts [Q]).
+        Same totals as :meth:`place_batch`, but the [Q, B] score matrix never
+        leaves the device — only the ranked head does, which is what the
+        jplace output needs.
+        """
+        h = self.host
+        Q = len(sequences)
+        top = min(top, len(h.branch_ids))
+        keys_pad, valid_pad = self._window_keys(sequences)
+        rows = self._rows(keys_pad, valid_pad)
+        scores = np.empty((Q, top), dtype=np.float32)
+        cols = np.empty((Q, top), dtype=np.int64)
+        bq = min(device_batch, max(Q, 1))
+        for start in range(0, Q, bq):
+            chunk = rows[start:start + bq]
+            if len(chunk) < bq:
+                fill = np.full((bq - len(chunk), rows.shape[1]), self.K + 1,
+                               dtype=np.int32)
+                chunk = np.concatenate([chunk, fill])
+            vals, idx = self._score_topk(chunk, top)
+            n = min(bq, Q - start)
+            scores[start:start + n] = np.asarray(vals)[:n]
+            cols[start:start + n] = np.asarray(idx)[:n]
+        return h.branch_ids[cols], scores, valid_pad.sum(axis=1)
 
 
 def _rank(name: str, branch_ids: np.ndarray, totals: np.ndarray,
@@ -233,11 +303,17 @@ def place_queries(db: PhyloKmerDB, queries: Iterable[Tuple[str, str]],
     tpu = TpuPlacementIndex(db)
     for start in range(0, len(queries), batch_size):
         chunk = queries[start:start + batch_size]
-        branch_ids, totals, _ = tpu.place_batch([s for _, s in chunk])
-        if len(branch_ids) == 0:
+        ids, scores, _ = tpu.place_batch_topk([s for _, s in chunk], top=top)
+        if ids.shape[1] == 0:
             continue
         for qi, (name, _) in enumerate(chunk):
-            placements.append(_rank(name, branch_ids, totals[qi], top))
+            sel = scores[qi].astype(np.float64)
+            weights = np.power(10.0, sel - sel.max())
+            weights /= weights.sum()
+            placements.append(
+                {"p": [[int(b), float(s), float(w)]
+                       for b, s, w in zip(ids[qi], scores[qi], weights)],
+                 "n": [name]})
     return placements
 
 

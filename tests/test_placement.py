@@ -94,6 +94,16 @@ def test_tpu_index_matches_host(tmp_path):
     seqs.append("ACG")          # shorter than k
     branch_ids, totals, counts = tpu.place_batch(seqs)
     np.testing.assert_array_equal(branch_ids, host.branch_ids)
+    # the device-ranked serving path returns the head of the same ranking
+    top = 3
+    ids_tk, scores_tk, counts_tk = tpu.place_batch_topk(seqs, top=top)
+    np.testing.assert_array_equal(counts_tk, counts)
+    for qi in range(len(seqs)):
+        order = np.argsort(-totals[qi].astype(np.float64), kind="stable")
+        np.testing.assert_array_equal(ids_tk[qi],
+                                      branch_ids[order[:top]])
+        np.testing.assert_allclose(scores_tk[qi], totals[qi][order[:top]],
+                                   rtol=1e-6, atol=1e-6)
     for qi, seq in enumerate(seqs):
         b, expected, n = host.score_query(seq)
         assert counts[qi] == n
