@@ -6,12 +6,20 @@ is what `bench.py` reports to the driver) and writes
 ``benchmarks/results.json``. Each entry records tuples/s and, where the
 single-core C++ DCLA baseline is affordable, the speedup over it.
 
+Timing methodology: the tunnel TPU platform has a ~28 ms host round-trip and
+no reliable completion barrier other than a transfer, so each measurement
+dispatches ``pipeline`` iterations back-to-back and transfers one small
+tensor at the end — the same amortization a real build gets from processing
+branch batches continuously.
+
 Configs (BASELINE.md):
   1. DNA k=8, 256 branches, 300 sites  (the headline; = bench.py)
   2. DNA k=10 on a ~150-taxon-scale alignment (deeper windows)
   3. DNA k=12 (key-batched accumulator)
-  4. AA sigma=20, k=6 (wide-alphabet kernel; sparse path)
+  4. AA sigma=20, k=6 (wide-alphabet kernel, key-batched dense)
+     and AA k=8 (true sparse territory, capacity-bounded lists)
   5. thousands of branches + the distributed MI reduction on one chip
+  6. placement serving throughput
 """
 
 import functools
@@ -33,6 +41,19 @@ def make_P(rng, G, S, sigma):
     return np.log10(np.maximum(p, 1e-30)).astype(np.float32)
 
 
+def make_P_peaked(rng, G, S, sigma, conserved=0.8):
+    """AR-posterior-like columns: mostly near-one-hot, some diffuse — the
+    regime real ancestral reconstructions produce (flat Dirichlet columns
+    yield zero survivors at realistic AA omegas)."""
+    p = np.empty((G, S, sigma), np.float32)
+    for g in range(G):
+        mask = rng.random(S) < conserved
+        alphas = np.where(mask, 0.05, 1.0)
+        for s in range(S):
+            p[g, s] = rng.dirichlet(np.full(sigma, alphas[s]))
+    return np.log10(np.maximum(p, 1e-30)).astype(np.float32)
+
+
 def cpp_baseline_rate(P_sub, k, sigma, eps):
     binary = os.path.join(REPO, "native", "baseline_dcla")
     src = binary + ".cpp"
@@ -48,13 +69,17 @@ def cpp_baseline_rate(P_sub, k, sigma, eps):
     return out["tuples"] / (out["ms"] / 1e3), out
 
 
-def dense_stage1(P_all, k, sigma, eps, key_batches=1, block_w=32,
-                 ghost_chunk=None):
-    """Fused-path stage 1, timed with host transfer of counts.
+def dense_stage1(P_all, k, sigma, eps, key_batches=1, block_w=64,
+                 ghost_chunk=None, pipeline=4):
+    """Fused-path stage 1 throughput.
 
+    Per-ghost tuple counts are accumulated ON DEVICE across key batches and
+    ghost chunks (each per-ghost int32 stays < 2^31 for all configs here);
+    a single host transfer of the [G] totals ends the timed region.
     ghost_chunk bounds HBM: the half tensors are [chunk, W, sigma^(k//2)].
     """
     import jax
+    import jax.numpy as jnp
     from ipk_tpu.core import dense
     from ipk_tpu.core.pallas_kernels import combine_max
 
@@ -69,44 +94,51 @@ def dense_stage1(P_all, k, sigma, eps, key_batches=1, block_w=32,
     step = nl // key_batches
 
     def stage1(P_dev, pre_dev):
-        total = 0
+        per_chunk = []
         for g0 in range(0, G, ghost_chunk):
             L, R = halves(P_dev[g0:g0 + ghost_chunk],
                           pre_dev[g0:g0 + ghost_chunk], eps)
+            total = None
             for b in range(key_batches):
                 Lb = jax.lax.slice_in_dim(L, b * step, (b + 1) * step, axis=2)
                 _, counts = combine_max(Lb, R, eps, block_w=block_w,
                                         with_count=True, interpret=False)
-                total += np.asarray(counts).astype(np.int64).sum()
-        return int(total)
+                total = counts if total is None else total + counts
+            per_chunk.append(total)
+        return jnp.concatenate(per_chunk)
 
     P_dev = jax.device_put(P_all)
     pre_dev = jax.device_put(prefix_all)
-    stage1(P_dev, pre_dev)  # compile
-    best, tuples = 1e18, 0
+    counts = np.asarray(stage1(P_dev, pre_dev))  # compile + correctness
+    tuples_once = int(counts.astype(np.int64).sum())
+    best = 1e18
     for _ in range(3):
         t0 = time.monotonic()
-        tuples = stage1(P_dev, pre_dev)
+        for _ in range(pipeline):
+            out = stage1(P_dev, pre_dev)
+        np.asarray(out)
         best = min(best, time.monotonic() - t0)
-    return tuples, best
+    return tuples_once * pipeline, best
 
 
 def sparse_stage1(P_all, k, sigma, bits, eps, cap):
+    """Ghost-batched capacity-bounded sparse path (one dispatch + transfer
+    per window block across all ghosts)."""
     from ipk_tpu.core import dense
-    from ipk_tpu.core.sparse import enumerate_sparse
+    from ipk_tpu.core.sparse import enumerate_sparse_many
 
     prefix_all = dense.best_score_prefix(P_all)
-    enumerate_sparse(P_all[0], prefix_all[0], eps, k=k, sigma=sigma,
-                     bits=bits, cap=cap)  # compile
-    t0 = time.monotonic()
-    tuples = 0
-    for g in range(P_all.shape[0]):
-        _, scores, overflow = enumerate_sparse(
-            P_all[g], prefix_all[g], eps, k=k, sigma=sigma, bits=bits,
-            cap=cap)
-        assert not overflow
-        tuples += int(np.isfinite(scores).sum())
-    return tuples, time.monotonic() - t0
+    _, scores, ovf = enumerate_sparse_many(
+        P_all, prefix_all, eps, k=k, sigma=sigma, bits=bits, cap=cap)
+    assert not ovf.any(), "benchmark workload overflowed the survivor cap"
+    tuples = int(np.isfinite(scores).sum())
+    best = 1e18
+    for _ in range(3):
+        t0 = time.monotonic()
+        _, scores, ovf = enumerate_sparse_many(
+            P_all, prefix_all, eps, k=k, sigma=sigma, bits=bits, cap=cap)
+        best = min(best, time.monotonic() - t0)
+    return tuples, best
 
 
 def distributed_mi(P_all, k, sigma, eps, omega):
@@ -144,16 +176,21 @@ def main():
         with open(out, "w") as f:
             json.dump(results, f, indent=1)
 
+    def entry(tuples, secs, rate_cpp=None):
+        e = {"tuples": tuples, "seconds": secs,
+             "tuples_per_sec": tuples / secs}
+        if rate_cpp is not None:
+            e["baseline_tuples_per_sec"] = rate_cpp
+            e["speedup"] = tuples / secs / rate_cpp
+        return e
+
     # 1. headline: DNA k=8
     omega, k, sigma = 1.5, 8, 4
     eps = np.float32(np.log10((omega / sigma) ** k))
     P = make_P(rng, 512, 300, sigma)
-    rate_cpp, raw = cpp_baseline_rate(P[:8], k, sigma, eps)
-    tuples, secs = dense_stage1(P, k, sigma, eps)
-    record("dna_k8", {"tuples": tuples, "seconds": secs,
-                      "tuples_per_sec": tuples / secs,
-                      "baseline_tuples_per_sec": rate_cpp,
-                      "speedup": tuples / secs / rate_cpp})
+    rate_cpp, _ = cpp_baseline_rate(P[:8], k, sigma, eps)
+    tuples, secs = dense_stage1(P, k, sigma, eps, pipeline=8)
+    record("dna_k8", entry(tuples, secs, rate_cpp))
 
     # 2. DNA k=10, 150-taxon-scale (298 branches -> 596 ghosts), 1500 sites;
     #    ghost-chunked so the half tensors fit HBM
@@ -161,37 +198,36 @@ def main():
     eps = np.float32(np.log10((omega / sigma) ** k))
     P = make_P(rng, 596, 1500, sigma)
     rate_cpp, _ = cpp_baseline_rate(P[:2], k, sigma, eps)
-    tuples, secs = dense_stage1(P, k, sigma, eps, key_batches=2, block_w=16,
-                                ghost_chunk=149)
-    record("dna_k10", {"tuples": tuples, "seconds": secs,
-                       "tuples_per_sec": tuples / secs,
-                       "baseline_tuples_per_sec": rate_cpp,
-                       "speedup": tuples / secs / rate_cpp})
+    tuples, secs = dense_stage1(P, k, sigma, eps, key_batches=2, block_w=64,
+                                ghost_chunk=149, pipeline=2)
+    record("dna_k10", entry(tuples, secs, rate_cpp))
 
     # 3. DNA k=12, key-batched (accumulator tile > VMEM otherwise)
     omega, k = 2.0, 12
     eps = np.float32(np.log10((omega / sigma) ** k))
     P = make_P(rng, 64, 600, sigma)
-    tuples, secs = dense_stage1(P, k, sigma, eps, key_batches=16, block_w=8)
-    record("dna_k12", {"tuples": tuples, "seconds": secs,
-                       "tuples_per_sec": tuples / secs})
+    rate_cpp, _ = cpp_baseline_rate(P[:2], k, sigma, eps)
+    tuples, secs = dense_stage1(P, k, sigma, eps, key_batches=16, block_w=64,
+                                pipeline=2)
+    record("dna_k12", entry(tuples, secs, rate_cpp))
 
     # 4a. AA k=6, dense key-batched kernel (64M keyspace fits the dense path)
     omega, k, sigma_aa = 4.0, 6, 20
     eps = np.float32(np.log10((omega / sigma_aa) ** k))
     P = make_P(rng, 32, 200, sigma_aa)
+    rate_cpp, _ = cpp_baseline_rate(P[:4], k, sigma_aa, eps)
     tuples, secs = dense_stage1(P, k, sigma_aa, eps, key_batches=100,
-                                block_w=8)
-    record("aa_k6_dense", {"tuples": tuples, "seconds": secs,
-                           "tuples_per_sec": tuples / secs})
+                                block_w=64, pipeline=2)
+    record("aa_k6_dense", entry(tuples, secs, rate_cpp))
 
-    # 4b. AA k=8 (true sparse territory: 2.6e10 keyspace), small caps
-    omega, k = 7.0, 8
+    # 4b. AA k=8 (true sparse territory: 2.6e10 keyspace), peaked posteriors
+    #     as real AR output produces (flat columns -> zero survivors)
+    omega, k = 8.0, 8
     eps = np.float32(np.log10((omega / sigma_aa) ** k))
-    P = make_P(rng, 8, 100, sigma_aa)
+    P = make_P_peaked(rng, 8, 100, sigma_aa)
+    rate_cpp, _ = cpp_baseline_rate(P, k, sigma_aa, eps)
     tuples, secs = sparse_stage1(P, k, sigma_aa, bits=5, eps=eps, cap=512)
-    record("aa_k8_sparse", {"tuples": tuples, "seconds": secs,
-                            "tuples_per_sec": tuples / secs})
+    record("aa_k8_sparse", entry(tuples, secs, rate_cpp))
 
     # 5. thousands of branches + distributed MI (single-chip mesh on TPU,
     #    8-way on the CPU test mesh)
@@ -204,14 +240,7 @@ def main():
     # 6. placement serving throughput
     record("placement_serving", placement_bench(rng))
 
-    out = os.path.join(REPO, "benchmarks", "results.json")
-    with open(out, "w") as f:
-        json.dump(results, f, indent=1)
     print(json.dumps(results, indent=1))
-
-
-if __name__ == "__main__":
-    main()
 
 
 def placement_bench(rng, K=500_000, B=512, k=10, Q=20480, L=150):
@@ -239,3 +268,7 @@ def placement_bench(rng, K=500_000, B=512, k=10, Q=20480, L=150):
     return {"reads": len(reads), "seconds": best,
             "reads_per_sec": len(reads) / best,
             "db_kmers": K, "branches": B}
+
+
+if __name__ == "__main__":
+    main()

@@ -161,28 +161,32 @@ def _enumerate_sparse_branches(P_all: np.ndarray, prefix_all: np.ndarray, *,
     per_branch = []
     explored = 0
     current_cap = min(512, cap)
-    for b in range(G // ghosts_per_group):
-        chunks_c, chunks_s = [], []
-        for g in range(ghosts_per_group):
-            i = b * ghosts_per_group + g
-            while True:
-                codes, scores, overflow = sparse_mod.enumerate_sparse(
-                    P_all[i], prefix_all[i], eps, k=k, sigma=sigma,
-                    bits=bits, cap=current_cap)
-                if not overflow:
-                    break
-                if current_cap >= cap:
-                    raise RuntimeError(
-                        f"Survivor-list capacity {cap} exceeded (ghost row "
-                        f"{i}). Increase --max-candidates or raise --omega.")
-                current_cap = min(current_cap * 2, cap)
-            explored += int(np.isfinite(scores).sum())
-            c, s = sparse_mod.merge_window_lists(codes, scores)
-            chunks_c.append(c)
-            chunks_s.append(s)
-        merged_c, merged_s = sparse_mod.merge_window_lists(
-            np.concatenate(chunks_c), np.concatenate(chunks_s))
-        per_branch.append((merged_c, merged_s))
+    # ghosts are batched (vmapped) so each window block costs one device
+    # dispatch + one host transfer for the whole chunk, not one per ghost
+    chunk_groups = max(1, 32 // ghosts_per_group)
+    for b0 in range(0, G // ghosts_per_group, chunk_groups):
+        nb = min(chunk_groups, G // ghosts_per_group - b0)
+        i0 = b0 * ghosts_per_group
+        i1 = (b0 + nb) * ghosts_per_group
+        while True:
+            codes, scores, overflow = sparse_mod.enumerate_sparse_many(
+                P_all[i0:i1], prefix_all[i0:i1], eps, k=k, sigma=sigma,
+                bits=bits, cap=current_cap)
+            if not overflow.any():
+                break
+            if current_cap >= cap:
+                raise RuntimeError(
+                    f"Survivor-list capacity {cap} exceeded (ghost rows "
+                    f"{i0}-{i1}). Increase --max-candidates or raise "
+                    "--omega.")
+            current_cap = min(current_cap * 2, cap)
+        explored += int(np.isfinite(scores).sum())
+        for b in range(nb):
+            g0 = b * ghosts_per_group
+            merged_c, merged_s = sparse_mod.merge_window_lists(
+                codes[g0:g0 + ghosts_per_group],
+                scores[g0:g0 + ghosts_per_group])
+            per_branch.append((merged_c, merged_s))
     return per_branch, explored
 
 

@@ -40,7 +40,8 @@ INTERPRET = os.environ.get("IPK_TPU_INTERPRET", "0") == "1"
 def _combine_kernel(L_ref, R_ref, eps_ref, A_ref, *, block_w: int,
                     num_blocks: int, t_chunk: int, with_count: bool,
                     count_ref=None, cacc_ref=None):
-    wb = pl.program_id(1)
+    nrb = pl.program_id(1)
+    wb = pl.program_id(2)
     nl = A_ref.shape[1]
 
     @pl.when(wb == 0)
@@ -48,6 +49,9 @@ def _combine_kernel(L_ref, R_ref, eps_ref, A_ref, *, block_w: int,
         A_ref[:] = jnp.full_like(A_ref, NEG_INF)
         if with_count:
             cacc_ref[:] = jnp.zeros_like(cacc_ref)
+            @pl.when(nrb == 0)
+            def _():
+                count_ref[:] = jnp.zeros_like(count_ref)
 
     # Two layout tricks keep the VPU fed (each measured ~1.7-2x on its own):
     #
@@ -100,9 +104,9 @@ def _combine_kernel(L_ref, R_ref, eps_ref, A_ref, *, block_w: int,
         if with_count:
             # the count output is a VMEM-tiled (1, 8, 128) slab (SMEM outputs
             # cannot be blocked per grid cell, and scalar stores to VMEM are
-            # not allowed): broadcast the reduced total over the tile
-            count_ref[0] = (jnp.zeros_like(count_ref[0])
-                            + jnp.sum(cacc_ref[0]))
+            # not allowed): broadcast-accumulate the reduced per-nr-block
+            # total over the tile (zeroed at nrb == 0, wb == 0 above)
+            count_ref[0] = count_ref[0] + jnp.sum(cacc_ref[0])
 
 
 @functools.partial(jax.jit,
@@ -142,6 +146,20 @@ def combine_max(L: jnp.ndarray, R: jnp.ndarray, log_threshold, *,
         L = jnp.concatenate([L, fill], axis=1)
         R = jnp.concatenate([R, jnp.full((G, pad, nr_pad), NEG_INF,
                                          dtype=jnp.float32)], axis=1)
+    # block the candidate-pair axis so the VMEM-resident accumulator tile
+    # (plus its int32 count twin and a few live temporaries) stays well under
+    # the ~16 MB scoped-VMEM limit: [nl, nr_blk] f32 <= ~1 MB
+    tile_budget = 1 << 20
+    if nl_pad * nr_pad * 4 <= tile_budget:
+        nr_blk = nr_pad
+    else:
+        nr_blk = max(128, (tile_budget // (nl_pad * 4)) // 128 * 128)
+        nr_pad = -(-nr_pad // nr_blk) * nr_blk
+        if nr_pad != R.shape[2]:
+            R = jnp.concatenate(
+                [R, jnp.full((G, R.shape[1], nr_pad - R.shape[2]), NEG_INF,
+                             jnp.float32)], axis=2)
+    num_nrb = nr_pad // nr_blk
     nl, nr = nl_pad, nr_pad
     eps = jnp.asarray(log_threshold, dtype=jnp.float32).reshape(1, 1)
 
@@ -154,7 +172,7 @@ def combine_max(L: jnp.ndarray, R: jnp.ndarray, log_threshold, *,
             break
 
     out_shape = [jax.ShapeDtypeStruct((G, nl, nr), jnp.float32)]
-    out_specs = [pl.BlockSpec((1, nl, nr), lambda g, wb: (g, 0, 0),
+    out_specs = [pl.BlockSpec((1, nl, nr_blk), lambda g, nrb, wb: (g, 0, nrb),
                               memory_space=pltpu.VMEM)]
     scratch_shapes = []
     if with_count:
@@ -164,9 +182,10 @@ def combine_max(L: jnp.ndarray, R: jnp.ndarray, log_threshold, *,
                             with_count=True, count_ref=count_ref,
                             cacc_ref=cacc_ref)
         out_shape.append(jax.ShapeDtypeStruct((G, 8, 128), jnp.int32))
-        out_specs.append(pl.BlockSpec((1, 8, 128), lambda g, wb: (g, 0, 0),
+        out_specs.append(pl.BlockSpec((1, 8, 128),
+                                      lambda g, nrb, wb: (g, 0, 0),
                                       memory_space=pltpu.VMEM))
-        scratch_shapes = [pltpu.VMEM((1, nl, nr), jnp.int32)]
+        scratch_shapes = [pltpu.VMEM((1, nl, nr_blk), jnp.int32)]
     else:
         kernel = functools.partial(_combine_kernel, block_w=bw,
                                    num_blocks=num_blocks, t_chunk=t_chunk,
@@ -174,13 +193,13 @@ def combine_max(L: jnp.ndarray, R: jnp.ndarray, log_threshold, *,
 
     result = pl.pallas_call(
         kernel,
-        grid=(G, num_blocks),
+        grid=(G, num_nrb, num_blocks),
         in_specs=[
-            pl.BlockSpec((1, bw, nl), lambda g, wb: (g, wb, 0),
+            pl.BlockSpec((1, bw, nl), lambda g, nrb, wb: (g, wb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bw, nr), lambda g, wb: (g, wb, 0),
+            pl.BlockSpec((1, bw, nr_blk), lambda g, nrb, wb: (g, wb, nrb),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda g, wb: (0, 0),
+            pl.BlockSpec((1, 1), lambda g, nrb, wb: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=out_specs,

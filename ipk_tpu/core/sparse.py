@@ -30,7 +30,8 @@ import numpy as np
 
 from .dense import NEG_INF
 
-__all__ = ["sparse_span_lists", "enumerate_sparse", "merge_window_lists"]
+__all__ = ["sparse_span_lists", "enumerate_sparse", "enumerate_sparse_many",
+           "merge_window_lists"]
 
 
 def _range_max(prefix: jnp.ndarray, start_rel: int, length: int,
@@ -139,6 +140,72 @@ def enumerate_sparse(P, prefix, log_threshold, *, k: int, sigma: int,
         out_s = [np.pad(s, ((0, 0), (0, width - s.shape[1])),
                         constant_values=NEG_INF) for s in out_s]
     return np.concatenate(out_c), np.concatenate(out_s), overflow
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "sigma", "bits", "cap"))
+def _enumerate_sparse_batch_jit(P, prefix, log_threshold, *, k, sigma, bits,
+                                cap):
+    def one(Pg, prefg):
+        W = Pg.shape[0] - k + 1
+        eps_top = jnp.full((W,), log_threshold, dtype=jnp.float32)
+        codes, scores, overflow = sparse_span_lists(
+            Pg, prefg, 0, k, eps_top, k=k, sigma=sigma, bits=bits, cap=cap)
+        return codes, scores, overflow.any()
+
+    return jax.vmap(one)(P, prefix)
+
+
+def enumerate_sparse_many(P_all, prefix_all, log_threshold, *, k: int,
+                          sigma: int, bits: int, cap: int = 4096,
+                          window_block: int | None = None,
+                          combine_budget_bytes: int = 1 << 28):
+    """Ghost-batched :func:`enumerate_sparse`.
+
+    P_all: [G, S, sigma], prefix_all: [G, S+1]. Returns
+    (codes [G, W, C] uint64, scores [G, W, C] f32, overflow [G] bool).
+
+    One device dispatch + host transfer per *window block across all
+    ghosts* instead of per (ghost, block) — the per-ghost loop pays the
+    host round-trip G times, which dominates on remote-tunnel platforms.
+    The combine budget bounds G * block * Cl * Cr * 4 bytes of HBM.
+    """
+    P_all = np.asarray(P_all, dtype=np.float32)
+    prefix_all = np.asarray(prefix_all, dtype=np.float32)
+    G, S = P_all.shape[0], P_all.shape[1]
+    W = S - k + 1
+    if W <= 0 or G == 0:
+        return (np.zeros((G, 0, 1), np.uint64),
+                np.zeros((G, 0, 1), np.float32), np.zeros((G,), bool))
+    hl = k // 2
+    cl = min(cap, sigma ** hl)
+    cr = min(cap, sigma ** (k - hl))
+    if window_block is None:
+        window_block = max(1, combine_budget_bytes
+                           // max(1, G * cl * cr * 4))
+    window_block = min(window_block, W)
+
+    out_c, out_s = [], []
+    overflow = np.zeros((G,), bool)
+    with jax.enable_x64():
+        for w0 in range(0, W, window_block):
+            bw = min(window_block, W - w0)
+            Pb = jnp.asarray(P_all[:, w0:w0 + bw + k - 1])
+            prefb = jnp.asarray(prefix_all[:, w0:w0 + bw + k - 1 + 1])
+            codes, scores, ovf = _enumerate_sparse_batch_jit(
+                Pb, prefb, jnp.float32(log_threshold), k=k, sigma=sigma,
+                bits=bits, cap=cap)
+            out_c.append(np.asarray(codes, dtype=np.uint64))
+            out_s.append(np.asarray(scores, dtype=np.float32))
+            overflow |= np.asarray(ovf)
+    width = max(c.shape[2] for c in out_c)
+    if any(c.shape[2] != width for c in out_c):  # ragged tail (cap vs full)
+        out_c = [np.pad(c, ((0, 0), (0, 0), (0, width - c.shape[2])))
+                 for c in out_c]
+        out_s = [np.pad(s, ((0, 0), (0, 0), (0, width - s.shape[2])),
+                        constant_values=NEG_INF) for s in out_s]
+    return np.concatenate(out_c, axis=1), np.concatenate(out_s, axis=1), \
+        overflow
 
 
 def merge_window_lists(codes: np.ndarray, scores: np.ndarray

@@ -225,13 +225,18 @@ class TpuPlacementIndex:
         rows = self._rows(keys_pad, valid_pad)
         totals = np.empty((Q, len(h.branch_ids)), dtype=np.float32)
         bq = min(device_batch, max(Q, 1))
+        # dispatch every chunk before any host transfer: device work and
+        # per-transfer round-trip latency overlap across chunks
+        pending = []
         for start in range(0, Q, bq):
             chunk = rows[start:start + bq]
             if len(chunk) < bq:  # pad to the fixed shape; K+1 row is zero
                 fill = np.full((bq - len(chunk), rows.shape[1]), self.K + 1,
                                dtype=np.int32)
                 chunk = np.concatenate([chunk, fill])
-            out = np.asarray(self._score(chunk), dtype=np.float32)
+            pending.append((start, self._score(chunk)))
+        for start, out_dev in pending:
+            out = np.asarray(out_dev, dtype=np.float32)
             totals[start:start + bq] = out[:Q - start]
         # padded invalid slots contributed 0; absent-branch baseline for the
         # invalid windows is already excluded (matching the host scorer)
@@ -254,13 +259,16 @@ class TpuPlacementIndex:
         scores = np.empty((Q, top), dtype=np.float32)
         cols = np.empty((Q, top), dtype=np.int64)
         bq = min(device_batch, max(Q, 1))
+        # dispatch every chunk before any host transfer (latency overlap)
+        pending = []
         for start in range(0, Q, bq):
             chunk = rows[start:start + bq]
             if len(chunk) < bq:
                 fill = np.full((bq - len(chunk), rows.shape[1]), self.K + 1,
                                dtype=np.int32)
                 chunk = np.concatenate([chunk, fill])
-            vals, idx = self._score_topk(chunk, top)
+            pending.append((start, self._score_topk(chunk, top)))
+        for start, (vals, idx) in pending:
             n = min(bq, Q - start)
             scores[start:start + n] = np.asarray(vals)[:n]
             cols[start:start + n] = np.asarray(idx)[:n]

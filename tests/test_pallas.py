@@ -84,3 +84,32 @@ def test_combine_max_window_padding():
     A = np.asarray(combine_max(L, R, eps, block_w=4, interpret=True))
     expected = (L[:, :, :, None] + R[:, :, None, :]).max(axis=1)
     np.testing.assert_array_equal(A, expected)
+
+
+def test_combine_max_nr_blocking():
+    """Candidate-pair spaces above the 1 MB VMEM tile budget are gridded
+    over the nr axis; results and counts must match the un-gridded path
+    (here forced small via a sliced L against a wide R, as the key-batched
+    k=12 build produces)."""
+    import jax.numpy as jnp
+    from ipk_tpu.core.dense import combine_max_jnp
+
+    rng = np.random.default_rng(3)
+    k, sigma, G, S = 10, 4, 2, 24
+    P_all, prefix_all = make_inputs(rng, G, S)
+    eps = eps_for(1.2, sigma, k)
+    L, R = [], []
+    for g in range(G):
+        Lg, Rg = dense.masked_halves(P_all[g], prefix_all[g], eps,
+                                     k=k, sigma=sigma)
+        L.append(np.asarray(Lg))
+        R.append(np.asarray(Rg))
+    L, R = jnp.asarray(np.stack(L)), jnp.asarray(np.stack(R))
+    # nl * nr * 4 = 1024 * 1024 * 4 = 4 MB > 1 MB budget -> nr gridding
+    A_ref = np.asarray(combine_max_jnp(L, R, eps))
+    A, counts = combine_max(L, R, eps, block_w=8, with_count=True,
+                            interpret=True)
+    np.testing.assert_array_equal(np.asarray(A), A_ref)
+    count_ref = int((np.asarray(L)[:, :, :, None] + np.asarray(R)[:, :, None, :]
+                     > eps).sum())
+    assert int(np.asarray(counts).astype(np.int64).sum()) == count_ref

@@ -102,3 +102,31 @@ def test_sparse_aa():
     dense_idx = np.flatnonzero(np.isfinite(A)).astype(np.uint64)
     got_idx = key_to_dense_index(merged_c, k, AA)
     np.testing.assert_array_equal(np.sort(got_idx), dense_idx)
+
+
+def test_enumerate_sparse_many_matches_per_ghost():
+    from ipk_tpu.core.sparse import enumerate_sparse, enumerate_sparse_many
+    from ipk_tpu.core import dense as dense_mod
+
+    rng = np.random.default_rng(5)
+    k, sigma, bits, cap = 6, 4, 2, 512
+    G, S = 3, 20
+    p = rng.dirichlet(np.ones(sigma) * 0.4, size=(G, S)).astype(np.float32)
+    P = np.log10(np.maximum(p, 1e-30)).astype(np.float32)
+    prefix = dense_mod.best_score_prefix(P)
+    eps = np.float32(np.log10((1.5 / sigma) ** k))
+    codes_b, scores_b, ovf_b = enumerate_sparse_many(
+        P, prefix, eps, k=k, sigma=sigma, bits=bits, cap=cap)
+    assert codes_b.shape[0] == G and not ovf_b.any()
+    for g in range(G):
+        codes, scores, ovf = enumerate_sparse(
+            P[g], prefix[g], eps, k=k, sigma=sigma, bits=bits, cap=cap)
+        assert not ovf
+        # identical survivor sets + scores per window (slot order may differ
+        # only when capacities differ; same cap -> same shapes)
+        for w in range(scores.shape[0]):
+            ref = {(int(c), float(s)) for c, s in
+                   zip(codes[w], scores[w]) if np.isfinite(s)}
+            got = {(int(c), float(s)) for c, s in
+                   zip(codes_b[g, w], scores_b[g, w]) if np.isfinite(s)}
+            assert got == ref
