@@ -8,7 +8,13 @@ module uses the statically-shaped equivalent flagged in SURVEY.md §7.4:
 **capacity-bounded survivor lists with overflow detection**.
 
 Per span (j, h) of the same split tree, keep at most ``cap`` surviving
-(code, score) pairs per window, selected by ``jax.lax.top_k`` on score.
+(code, score) pairs per window. Pair selection is a **staircase combine**
+(:func:`_staircase_combine`): each level's lists are kept score-descending,
+so the survivors of ``sL[i] + sR[j] > eps`` form a prefix in j for every i
+(f32 addition is monotone) — count them with one vectorized compare, then
+extract by offset arithmetic. This is the vectorized equivalent of DCLA's
+sort-the-smaller-side + early-break pairwise loop (``pk_compute.cpp:61-110``)
+and avoids the O(CL*CR log) top_k the naive compaction needs.
 Because every true survivor has score > eps and pruned slots are -inf, the
 survivor *set* is exactly the reference's whenever the count fits the cap;
 an overflow flag is returned per window so callers can fail loudly and retry
@@ -40,6 +46,59 @@ def _range_max(prefix: jnp.ndarray, start_rel: int, length: int,
             - jax.lax.dynamic_slice(prefix, (start_rel,), (W,)))
 
 
+def _sort_desc(codes: jnp.ndarray, scores: jnp.ndarray):
+    """Sort each row's (code, score) pairs by score descending (pruned -inf
+    slots sink to the end). Values are untouched — only slot order changes."""
+    neg, codes = jax.lax.sort_key_val(-scores, codes, dimension=-1)
+    return codes, -neg
+
+
+def _staircase_combine(cL, sL, cR, sR, eps, *, cap: int, shift: int,
+                       chunk_elems: int = 1 << 24):
+    """Capacity-bounded pairwise combine without sorting the product.
+
+    The TPU translation of DCLA's sorted early-termination
+    (``pk_compute.cpp:61-110``): with sR sorted descending, the surviving j
+    for each i form a PREFIX (f32 addition is monotone), so the survivor set
+    is a staircase region. Count it with exact f32 sums (one vectorized
+    compare over [CL, CR] — no materialized product kept, no O(n log n)
+    top_k over CL*CR), then extract survivor t as (i, j) via a searchsorted
+    on the row-offset cumsum — O(cap log CL) integer gathers.
+
+    cL/sL: [W, CL], cR/sR: [W, CR] (sR desc). Returns
+    (codes [W, C], scores [W, C], overflow [W]) with C = min(cap, CL*CR);
+    scores are the true f32 sums sL[i] + sR[j] (reference summation tree).
+    Output rows are NOT sorted; callers sort once (C-wide) if needed.
+    """
+    W, CL = sL.shape
+    CR = sR.shape[1]
+    out_cap = min(cap, CL * CR)
+    cc = max(1, min(CL, chunk_elems // max(1, W * CR)))
+    cnts = []
+    for c0 in range(0, CL, cc):
+        T = sL[:, c0:c0 + cc, None] + sR[:, None, :]
+        cnts.append((T > eps[:, None, None]).sum(axis=2, dtype=jnp.int32))
+    cnt = jnp.concatenate(cnts, axis=1)                       # [W, CL]
+    offx = jnp.concatenate(
+        [jnp.zeros((W, 1), jnp.int32),
+         jnp.cumsum(cnt, axis=1, dtype=jnp.int32)], axis=1)   # [W, CL+1]
+    total = offx[:, -1]
+    overflow = total > out_cap
+    ks = jnp.arange(out_cap, dtype=jnp.int32)
+    i = jax.vmap(
+        lambda o: jnp.searchsorted(o, ks, side="right"))(offx[:, 1:])
+    i = jnp.minimum(i, CL - 1).astype(jnp.int32)
+    prev = jnp.take_along_axis(offx, i, axis=1)
+    jj = jnp.clip(ks[None, :] - prev, 0, CR - 1).astype(jnp.int32)
+    s = (jnp.take_along_axis(sL, i, axis=1)
+         + jnp.take_along_axis(sR, jj, axis=1))
+    valid = ks[None, :] < total[:, None]
+    s = jnp.where(valid, s, NEG_INF)
+    c = ((jnp.take_along_axis(cL, i, axis=1) << np.uint64(shift))
+         | jnp.take_along_axis(cR, jj, axis=1))
+    return c, s, overflow
+
+
 def sparse_span_lists(P: jnp.ndarray, prefix: jnp.ndarray, j: int, h: int,
                       eps: jnp.ndarray, *, k: int, sigma: int, bits: int,
                       cap: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -55,6 +114,7 @@ def sparse_span_lists(P: jnp.ndarray, prefix: jnp.ndarray, j: int, h: int,
         scores = jnp.where(T > eps[:, None], T, NEG_INF)
         codes = jnp.broadcast_to(
             jax.lax.broadcasted_iota(jnp.uint64, (1, sigma), 1), (W, sigma))
+        codes, scores = _sort_desc(codes, scores)
         return codes, scores, jnp.zeros((W,), dtype=bool)
 
     hl = h // 2
@@ -65,19 +125,23 @@ def sparse_span_lists(P: jnp.ndarray, prefix: jnp.ndarray, j: int, h: int,
                                    bits=bits, cap=cap)
     cr, sr, orr = sparse_span_lists(P, prefix, j + hl, hr, eps_r, k=k,
                                     sigma=sigma, bits=bits, cap=cap)
+    CL, CR = sl.shape[1], sr.shape[1]
+    shift = bits * hr
 
-    # pairwise combine: [W, Cl*Cr]
-    scores = (sl[:, :, None] + sr[:, None, :]).reshape(W, -1)
-    scores = jnp.where(scores > eps[:, None], scores, NEG_INF)
-    codes = ((cl[:, :, None] << np.uint64(bits * hr)) | cr[:, None, :]
-             ).reshape(W, -1)
-    overflow = ol | orr
-
-    if scores.shape[1] > cap:
-        count = (scores > NEG_INF).sum(axis=1)
-        overflow = overflow | (count > cap)
-        scores, idx = jax.lax.top_k(scores, cap)
-        codes = jnp.take_along_axis(codes, idx.astype(jnp.int32), axis=1)
+    if CL * CR <= cap:
+        # product fits the cap: materialize it whole (no selection at all)
+        scores = (sl[:, :, None] + sr[:, None, :]).reshape(W, -1)
+        scores = jnp.where(scores > eps[:, None], scores, NEG_INF)
+        codes = ((cl[:, :, None] << np.uint64(shift)) | cr[:, None, :]
+                 ).reshape(W, -1)
+        overflow = ol | orr
+    else:
+        codes, scores, ovf = _staircase_combine(
+            cl, sl, cr, sr, eps, cap=cap, shift=shift)
+        overflow = ol | orr | ovf
+    # keep every level's lists score-descending: the staircase prefix
+    # property at the parent level requires a sorted right child
+    codes, scores = _sort_desc(codes, scores)
     return codes, scores, overflow
 
 
