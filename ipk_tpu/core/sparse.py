@@ -11,15 +11,23 @@ Per span (j, h) of the same split tree, keep at most ``cap`` surviving
 (code, score) pairs per window. Pair selection is a **staircase combine**
 (:func:`_staircase_combine`): each level's lists are kept score-descending,
 so the survivors of ``sL[i] + sR[j] > eps`` form a prefix in j for every i
-(f32 addition is monotone) — count them with one vectorized compare, then
-extract by offset arithmetic. This is the vectorized equivalent of DCLA's
-sort-the-smaller-side + early-break pairwise loop (``pk_compute.cpp:61-110``)
-and avoids the O(CL*CR log) top_k the naive compaction needs.
-Because every true survivor has score > eps and pruned slots are -inf, the
-survivor *set* is exactly the reference's whenever the count fits the cap;
-an overflow flag is returned per window so callers can fail loudly and retry
+(f32 addition is monotone). Counts use the exact f32 predicate via a fused
+compare-reduce (regular VPU dataflow — XLA's sort and gather HLOs are an
+order of magnitude off speed-of-light at these shapes, so the path uses
+neither); extraction maps flat survivor slots back to (i, j) with
+membership masks (``offx[i] <= t < offx[i+1]``) reduced by masked sums — a
+single live term per slot, so the sums are exact in any order. This is the
+vectorized equivalent of DCLA's sort-the-smaller-side + early-break
+pairwise loop (``pk_compute.cpp:61-110``).
+
+An overflow flag is returned per ghost so callers can fail loudly and retry
 with a larger cap (silent truncation would drop valid k-mers). Scores follow
 the identical f32 summation tree, so values are bit-equal to the dense path.
+
+Codes stay ``uint32`` on device (every half-window needs ≤ 32 bits for the
+supported k ranges: 31 DNA → 16·2 bits, 12 AA → 6·5 bits); the host packs
+the final (prefix, suffix) pairs into reference-layout ``uint64`` keys
+(``pk_compute.cpp:96-105``) — no 64-bit emulation in the hot path.
 
 Base levels with σ^h ≤ cap are complete dense lists (no selection at all);
 compaction only starts where the candidate space first exceeds the cap.
@@ -36,8 +44,11 @@ import numpy as np
 
 from .dense import NEG_INF
 
-__all__ = ["sparse_span_lists", "enumerate_sparse", "enumerate_sparse_many",
-           "merge_window_lists"]
+__all__ = ["enumerate_sparse", "enumerate_sparse_many",
+           "enumerate_pairs_device", "merge_window_lists"]
+
+#: fused-elementwise working-set budget for the combine (elements per chunk)
+_CHUNK_ELEMS = 1 << 26
 
 
 def _range_max(prefix: jnp.ndarray, start_rel: int, length: int,
@@ -53,67 +64,98 @@ def _sort_desc(codes: jnp.ndarray, scores: jnp.ndarray):
     return codes, -neg
 
 
-def _staircase_combine(cL, sL, cR, sR, eps, *, cap: int, shift: int,
-                       chunk_elems: int = 1 << 24):
-    """Capacity-bounded pairwise combine without sorting the product.
+def _staircase_combine(cL, sL, cR, sR, eps, *, cap: int, shift):
+    """Capacity-bounded pairwise combine without materializing the product.
 
     The TPU translation of DCLA's sorted early-termination
-    (``pk_compute.cpp:61-110``): with sR sorted descending, the surviving j
-    for each i form a PREFIX (f32 addition is monotone), so the survivor set
-    is a staircase region. Count it with exact f32 sums (one vectorized
-    compare over [CL, CR] — no materialized product kept, no O(n log n)
-    top_k over CL*CR), then extract survivor t as (i, j) via a searchsorted
-    on the row-offset cumsum — O(cap log CL) integer gathers.
+    (``pk_compute.cpp:61-110``): with both lists sorted score-descending,
+    the surviving j for each i form a PREFIX (f32 addition is monotone), so
+    the survivor region is a monotone staircase fully described by the
+    per-i counts. Counts use the exact predicate ``fl(sL[i]+sR[j]) > eps``
+    via a fused compare-reduce (CL-chunked); flat slot t is mapped back to
+    its (i, j) with membership masks against the count cumsum and masked
+    one-live-term sums (exact in f32, no gather/scatter/sort HLOs — those
+    are far off speed-of-light on TPU at these shapes).
 
-    cL/sL: [W, CL], cR/sR: [W, CR] (sR desc). Returns
-    (codes [W, C], scores [W, C], overflow [W]) with C = min(cap, CL*CR);
-    scores are the true f32 sums sL[i] + sR[j] (reference summation tree).
-    Output rows are NOT sorted; callers sort once (C-wide) if needed.
+    cL/sL: [W, CL], cR/sR: [W, CR] (both sorted desc). Returns
+    (codes, scores [W, C], overflow [W]) with C = min(cap, CL*CR); with
+    ``shift=None`` codes is the pair (cL_sel, cR_sel) instead of a packed
+    uint32. Output rows are NOT sorted; callers sort if needed.
     """
     W, CL = sL.shape
     CR = sR.shape[1]
     out_cap = min(cap, CL * CR)
-    cc = max(1, min(CL, chunk_elems // max(1, W * CR)))
+
+    # exact per-i survivor counts (the staircase profile)
+    cc = max(1, min(CL, _CHUNK_ELEMS // max(1, W * CR)))
     cnts = []
     for c0 in range(0, CL, cc):
-        T = sL[:, c0:c0 + cc, None] + sR[:, None, :]
-        cnts.append((T > eps[:, None, None]).sum(axis=2, dtype=jnp.int32))
-    cnt = jnp.concatenate(cnts, axis=1)                       # [W, CL]
+        part = ((sL[:, c0:c0 + cc, None] + sR[:, None, :])
+                > eps[:, None, None]).sum(axis=2, dtype=jnp.int32)
+        cnts.append(part)
+    cnt = jnp.concatenate(cnts, axis=1) if len(cnts) > 1 else cnts[0]
     offx = jnp.concatenate(
         [jnp.zeros((W, 1), jnp.int32),
          jnp.cumsum(cnt, axis=1, dtype=jnp.int32)], axis=1)   # [W, CL+1]
     total = offx[:, -1]
     overflow = total > out_cap
-    ks = jnp.arange(out_cap, dtype=jnp.int32)
-    i = jax.vmap(
-        lambda o: jnp.searchsorted(o, ks, side="right"))(offx[:, 1:])
-    i = jnp.minimum(i, CL - 1).astype(jnp.int32)
-    prev = jnp.take_along_axis(offx, i, axis=1)
-    jj = jnp.clip(ks[None, :] - prev, 0, CR - 1).astype(jnp.int32)
-    s = (jnp.take_along_axis(sL, i, axis=1)
-         + jnp.take_along_axis(sR, jj, axis=1))
-    valid = ks[None, :] < total[:, None]
-    s = jnp.where(valid, s, NEG_INF)
-    c = ((jnp.take_along_axis(cL, i, axis=1) << np.uint64(shift))
-         | jnp.take_along_axis(cR, jj, axis=1))
-    return c, s, overflow
+
+    # 16-bit code halves: exactly representable through int32 masked sums
+    clh = (cL >> np.uint32(16)).astype(jnp.int32)
+    cll = (cL & np.uint32(0xFFFF)).astype(jnp.int32)
+    crh = (cR >> np.uint32(16)).astype(jnp.int32)
+    crl = (cR & np.uint32(0xFFFF)).astype(jnp.int32)
+    jr = jax.lax.broadcasted_iota(jnp.int32, (1, 1, CR), 2)
+
+    tc = max(1, min(out_cap, _CHUNK_ELEMS // max(1, W * max(CL, CR))))
+    out_cl, out_cr, out_s = [], [], []
+    for t0 in range(0, out_cap, tc):
+        ks = jnp.arange(t0, min(out_cap, t0 + tc), dtype=jnp.int32)
+        t = ks[None, :, None]                       # [1, T, 1]
+        # membership: slot t lies in left-row i iff offx[i] <= t < offx[i+1]
+        # (exactly one i for t < total, none otherwise)
+        M = (offx[:, None, :-1] <= t) & (t < offx[:, None, 1:])  # [W, T, CL]
+
+        def pick_l(f, M=M):
+            return jnp.where(M, f[:, None, :], 0).sum(axis=2)
+
+        prev = pick_l(offx[:, :-1])                 # int32 [W, T]
+        jj = ks[None, :] - prev
+        N = jj[:, :, None] == jr                    # [W, T, CR]
+
+        def pick_r(f, N=N):
+            return jnp.where(N, f[:, None, :], 0).sum(axis=2)
+
+        s = pick_l(sL) + pick_r(sR)
+        valid = (ks[None, :] < total[:, None]) & (s > eps[:, None])
+        out_s.append(jnp.where(valid, s, NEG_INF))
+        out_cl.append((pick_l(clh).astype(jnp.uint32) << np.uint32(16))
+                      | pick_l(cll).astype(jnp.uint32))
+        out_cr.append((pick_r(crh).astype(jnp.uint32) << np.uint32(16))
+                      | pick_r(crl).astype(jnp.uint32))
+
+    cat = (lambda xs: jnp.concatenate(xs, axis=1) if len(xs) > 1 else xs[0])
+    clg, crg, s = cat(out_cl), cat(out_cr), cat(out_s)
+    if shift is None:
+        return (clg, crg), s, overflow
+    return (clg << np.uint32(shift)) | crg, s, overflow
 
 
-def sparse_span_lists(P: jnp.ndarray, prefix: jnp.ndarray, j: int, h: int,
-                      eps: jnp.ndarray, *, k: int, sigma: int, bits: int,
-                      cap: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+def _span_lists(P: jnp.ndarray, prefix: jnp.ndarray, j: int, h: int,
+                eps: jnp.ndarray, *, k: int, sigma: int, bits: int,
+                cap: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Survivor lists for span (j, h) at every window offset.
 
-    Returns (codes [W, C], scores [W, C], overflow [W] bool) with C ≤ cap;
-    invalid slots have score -inf (their codes are arbitrary). Codes are
-    bit-packed with the reference's strides (``pk_compute.cpp:96-105``).
+    Returns (codes [W, C] uint32, scores [W, C], overflow [W] bool) with
+    C ≤ cap, rows sorted score-descending; invalid slots have score -inf.
+    Requires bits·h ≤ 32 (callers split at the top level first).
     """
     W = P.shape[0] - k + 1
     if h == 1:
         T = jax.lax.dynamic_slice(P, (j, 0), (W, sigma))
         scores = jnp.where(T > eps[:, None], T, NEG_INF)
         codes = jnp.broadcast_to(
-            jax.lax.broadcasted_iota(jnp.uint64, (1, sigma), 1), (W, sigma))
+            jax.lax.broadcasted_iota(jnp.uint32, (1, sigma), 1), (W, sigma))
         codes, scores = _sort_desc(codes, scores)
         return codes, scores, jnp.zeros((W,), dtype=bool)
 
@@ -121,10 +163,10 @@ def sparse_span_lists(P: jnp.ndarray, prefix: jnp.ndarray, j: int, h: int,
     hr = h - hl
     eps_l = eps - _range_max(prefix, j + hl, hr, W)
     eps_r = eps - _range_max(prefix, j, hl, W)
-    cl, sl, ol = sparse_span_lists(P, prefix, j, hl, eps_l, k=k, sigma=sigma,
-                                   bits=bits, cap=cap)
-    cr, sr, orr = sparse_span_lists(P, prefix, j + hl, hr, eps_r, k=k,
-                                    sigma=sigma, bits=bits, cap=cap)
+    cl, sl, ol = _span_lists(P, prefix, j, hl, eps_l, k=k, sigma=sigma,
+                             bits=bits, cap=cap)
+    cr, sr, orr = _span_lists(P, prefix, j + hl, hr, eps_r, k=k,
+                              sigma=sigma, bits=bits, cap=cap)
     CL, CR = sl.shape[1], sr.shape[1]
     shift = bits * hr
 
@@ -132,7 +174,7 @@ def sparse_span_lists(P: jnp.ndarray, prefix: jnp.ndarray, j: int, h: int,
         # product fits the cap: materialize it whole (no selection at all)
         scores = (sl[:, :, None] + sr[:, None, :]).reshape(W, -1)
         scores = jnp.where(scores > eps[:, None], scores, NEG_INF)
-        codes = ((cl[:, :, None] << np.uint64(shift)) | cr[:, None, :]
+        codes = ((cl[:, :, None] << np.uint32(shift)) | cr[:, None, :]
                  ).reshape(W, -1)
         overflow = ol | orr
     else:
@@ -140,19 +182,105 @@ def sparse_span_lists(P: jnp.ndarray, prefix: jnp.ndarray, j: int, h: int,
             cl, sl, cr, sr, eps, cap=cap, shift=shift)
         overflow = ol | orr | ovf
     # keep every level's lists score-descending: the staircase prefix
-    # property at the parent level requires a sorted right child
+    # property at the parent level requires sorted children
     codes, scores = _sort_desc(codes, scores)
     return codes, scores, overflow
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("k", "sigma", "bits", "cap"))
-def _enumerate_sparse_jit(P, prefix, log_threshold, *, k, sigma, bits, cap):
+def _top_pairs(P: jnp.ndarray, prefix: jnp.ndarray, log_threshold,
+               *, k: int, sigma: int, bits: int, cap: int):
+    """Full-window survivors for one ghost as (prefix, suffix) uint32 pairs.
+
+    Returns (cl_sel [W, C], cr_sel [W, C], scores [W, C], overflow [])."""
     W = P.shape[0] - k + 1
-    eps_top = jnp.full((W,), log_threshold, dtype=jnp.float32)
-    codes, scores, overflow = sparse_span_lists(
-        P, prefix, 0, k, eps_top, k=k, sigma=sigma, bits=bits, cap=cap)
-    return codes, scores, overflow.any()
+    eps = jnp.full((W,), log_threshold, dtype=jnp.float32)
+    if k == 1:
+        cr, s, ovf = _span_lists(P, prefix, 0, 1, eps, k=k, sigma=sigma,
+                                 bits=bits, cap=cap)
+        return jnp.zeros_like(cr), cr, s, ovf.any()
+
+    hl = k // 2
+    hr = k - hl
+    eps_l = eps - _range_max(prefix, hl, hr, W)
+    eps_r = eps - _range_max(prefix, 0, hl, W)
+    cl, sl, ol = _span_lists(P, prefix, 0, hl, eps_l, k=k, sigma=sigma,
+                             bits=bits, cap=cap)
+    cr, sr, orr = _span_lists(P, prefix, hl, hr, eps_r, k=k, sigma=sigma,
+                              bits=bits, cap=cap)
+    CL, CR = sl.shape[1], sr.shape[1]
+    if CL * CR <= cap:
+        scores = (sl[:, :, None] + sr[:, None, :]).reshape(W, -1)
+        scores = jnp.where(scores > eps[:, None], scores, NEG_INF)
+        clg = jnp.broadcast_to(cl[:, :, None], (W, CL, CR)).reshape(W, -1)
+        crg = jnp.broadcast_to(cr[:, None, :], (W, CL, CR)).reshape(W, -1)
+        overflow = ol | orr
+    else:
+        (clg, crg), scores, ovf = _staircase_combine(
+            cl, sl, cr, sr, eps, cap=cap, shift=None)
+        overflow = ol | orr | ovf
+    return clg, crg, scores, overflow.any()
+
+
+@functools.partial(jax.jit, static_argnames=("k", "sigma", "bits", "cap"))
+def enumerate_pairs_device(P_all, prefix_all, log_threshold, *, k: int,
+                           sigma: int, bits: int, cap: int):
+    """Ghost-batched device enumeration: ONE dispatch for the whole batch.
+
+    P_all: [G, S, sigma] f32, prefix_all: [G, S+1] f32. Returns device arrays
+    (cl_sel, cr_sel [G, W, C] uint32, scores [G, W, C] f32, overflow [G])
+    where a survivor's packed key is ``cl << (bits·(k - k//2)) | cr``
+    (``pk_compute.cpp:96-105``). All arithmetic is f32/int32 — no 64-bit
+    emulation on device."""
+    def one(Pg, prefg):
+        return _top_pairs(Pg, prefg, log_threshold, k=k, sigma=sigma,
+                          bits=bits, cap=cap)
+
+    return jax.vmap(one)(P_all, prefix_all)
+
+
+def _pack_host(cl: np.ndarray, cr: np.ndarray, *, k: int, bits: int
+               ) -> np.ndarray:
+    shift = np.uint64(bits * (k - k // 2))
+    return ((np.asarray(cl, dtype=np.uint64) << shift)
+            | np.asarray(cr, dtype=np.uint64))
+
+
+def enumerate_sparse_many(P_all, prefix_all, log_threshold, *, k: int,
+                          sigma: int, bits: int, cap: int = 4096,
+                          window_block: int | None = None,
+                          combine_budget_bytes: int = 1 << 28):
+    """Ghost-batched sparse enumeration (host-facing).
+
+    P_all: [G, S, sigma], prefix_all: [G, S+1]. Returns
+    (codes [G, W, C] uint64, scores [G, W, C] f32, overflow [G] bool).
+
+    The device does everything in one dispatch per ghost chunk (chunk size
+    bounded so working-set HBM stays within ``combine_budget_bytes``); the
+    host only packs the returned uint32 pairs into uint64 keys.
+    """
+    P_all = np.asarray(P_all, dtype=np.float32)
+    prefix_all = np.asarray(prefix_all, dtype=np.float32)
+    G, S = P_all.shape[0], P_all.shape[1]
+    W = S - k + 1
+    if W <= 0 or G == 0:
+        return (np.zeros((G, 0, 1), np.uint64),
+                np.zeros((G, 0, 1), np.float32), np.zeros((G,), bool))
+    # working set per ghost: a few [W, cap]-ish f32/u32 tensors per level
+    per_ghost = W * min(cap, sigma ** ((k + 1) // 2)) * 8 * max(
+        4, 2 * int(np.ceil(np.log2(max(2, k)))))
+    ghost_chunk = max(1, min(G, combine_budget_bytes // max(1, per_ghost)))
+
+    out_c, out_s = [], []
+    overflow = np.zeros((G,), bool)
+    for g0 in range(0, G, ghost_chunk):
+        g1 = min(G, g0 + ghost_chunk)
+        cl, cr, scores, ovf = enumerate_pairs_device(
+            jnp.asarray(P_all[g0:g1]), jnp.asarray(prefix_all[g0:g1]),
+            jnp.float32(log_threshold), k=k, sigma=sigma, bits=bits, cap=cap)
+        out_c.append(_pack_host(cl, cr, k=k, bits=bits))
+        out_s.append(np.asarray(scores, dtype=np.float32))
+        overflow[g0:g1] = np.asarray(ovf)
+    return np.concatenate(out_c), np.concatenate(out_s), overflow
 
 
 def enumerate_sparse(P, prefix, log_threshold, *, k: int, sigma: int,
@@ -162,114 +290,14 @@ def enumerate_sparse(P, prefix, log_threshold, *, k: int, sigma: int,
     """Full-window survivor lists for one ghost matrix.
 
     Returns (codes [W, C] uint64, scores [W, C] f32, overflow bool).
-    Runs under scoped x64 so packed codes keep 64 bits (k up to 31 DNA needs
-    62; the global default truncates uint64 to uint32). All score arithmetic
-    is explicitly f32 and unaffected.
-
-    Windows are processed in blocks so the top-level [block, Cl*Cr] combine
-    stays within ``combine_budget_bytes`` of HBM.
     """
-    P = np.asarray(P, dtype=np.float32)
-    prefix = np.asarray(prefix, dtype=np.float32)
-    S = P.shape[0]
-    W = S - k + 1
-    if W <= 0:
-        return (np.zeros((0, 1), np.uint64), np.zeros((0, 1), np.float32),
-                False)
-    hl = k // 2
-    cl = min(cap, sigma ** hl)
-    cr = min(cap, sigma ** (k - hl))
-    if window_block is None:
-        window_block = max(1, combine_budget_bytes // max(1, cl * cr * 4))
-    window_block = min(window_block, W)
-
-    out_c, out_s = [], []
-    overflow = False
-    with jax.enable_x64():
-        for w0 in range(0, W, window_block):
-            bw = min(window_block, W - w0)
-            # windows [w0, w0+bw) need columns [w0, w0+bw+k-1); prefix is
-            # sliced consistently (only differences are used)
-            Pb = jnp.asarray(P[w0:w0 + bw + k - 1])
-            prefb = jnp.asarray(prefix[w0:w0 + bw + k - 1 + 1])
-            codes, scores, ovf = _enumerate_sparse_jit(
-                Pb, prefb, jnp.float32(log_threshold), k=k, sigma=sigma,
-                bits=bits, cap=cap)
-            out_c.append(np.asarray(codes, dtype=np.uint64))
-            out_s.append(np.asarray(scores, dtype=np.float32))
-            overflow = overflow or bool(ovf)
-    width = max(c.shape[1] for c in out_c)
-    if any(c.shape[1] != width for c in out_c):  # ragged tail (cap vs full)
-        out_c = [np.pad(c, ((0, 0), (0, width - c.shape[1]))) for c in out_c]
-        out_s = [np.pad(s, ((0, 0), (0, width - s.shape[1])),
-                        constant_values=NEG_INF) for s in out_s]
-    return np.concatenate(out_c), np.concatenate(out_s), overflow
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("k", "sigma", "bits", "cap"))
-def _enumerate_sparse_batch_jit(P, prefix, log_threshold, *, k, sigma, bits,
-                                cap):
-    def one(Pg, prefg):
-        W = Pg.shape[0] - k + 1
-        eps_top = jnp.full((W,), log_threshold, dtype=jnp.float32)
-        codes, scores, overflow = sparse_span_lists(
-            Pg, prefg, 0, k, eps_top, k=k, sigma=sigma, bits=bits, cap=cap)
-        return codes, scores, overflow.any()
-
-    return jax.vmap(one)(P, prefix)
-
-
-def enumerate_sparse_many(P_all, prefix_all, log_threshold, *, k: int,
-                          sigma: int, bits: int, cap: int = 4096,
-                          window_block: int | None = None,
-                          combine_budget_bytes: int = 1 << 28):
-    """Ghost-batched :func:`enumerate_sparse`.
-
-    P_all: [G, S, sigma], prefix_all: [G, S+1]. Returns
-    (codes [G, W, C] uint64, scores [G, W, C] f32, overflow [G] bool).
-
-    One device dispatch + host transfer per *window block across all
-    ghosts* instead of per (ghost, block) — the per-ghost loop pays the
-    host round-trip G times, which dominates on remote-tunnel platforms.
-    The combine budget bounds G * block * Cl * Cr * 4 bytes of HBM.
-    """
-    P_all = np.asarray(P_all, dtype=np.float32)
-    prefix_all = np.asarray(prefix_all, dtype=np.float32)
-    G, S = P_all.shape[0], P_all.shape[1]
-    W = S - k + 1
-    if W <= 0 or G == 0:
-        return (np.zeros((G, 0, 1), np.uint64),
-                np.zeros((G, 0, 1), np.float32), np.zeros((G,), bool))
-    hl = k // 2
-    cl = min(cap, sigma ** hl)
-    cr = min(cap, sigma ** (k - hl))
-    if window_block is None:
-        window_block = max(1, combine_budget_bytes
-                           // max(1, G * cl * cr * 4))
-    window_block = min(window_block, W)
-
-    out_c, out_s = [], []
-    overflow = np.zeros((G,), bool)
-    with jax.enable_x64():
-        for w0 in range(0, W, window_block):
-            bw = min(window_block, W - w0)
-            Pb = jnp.asarray(P_all[:, w0:w0 + bw + k - 1])
-            prefb = jnp.asarray(prefix_all[:, w0:w0 + bw + k - 1 + 1])
-            codes, scores, ovf = _enumerate_sparse_batch_jit(
-                Pb, prefb, jnp.float32(log_threshold), k=k, sigma=sigma,
-                bits=bits, cap=cap)
-            out_c.append(np.asarray(codes, dtype=np.uint64))
-            out_s.append(np.asarray(scores, dtype=np.float32))
-            overflow |= np.asarray(ovf)
-    width = max(c.shape[2] for c in out_c)
-    if any(c.shape[2] != width for c in out_c):  # ragged tail (cap vs full)
-        out_c = [np.pad(c, ((0, 0), (0, 0), (0, width - c.shape[2])))
-                 for c in out_c]
-        out_s = [np.pad(s, ((0, 0), (0, 0), (0, width - s.shape[2])),
-                        constant_values=NEG_INF) for s in out_s]
-    return np.concatenate(out_c, axis=1), np.concatenate(out_s, axis=1), \
-        overflow
+    codes, scores, overflow = enumerate_sparse_many(
+        np.asarray(P, dtype=np.float32)[None],
+        np.asarray(prefix, dtype=np.float32)[None],
+        log_threshold, k=k, sigma=sigma, bits=bits, cap=cap,
+        window_block=window_block,
+        combine_budget_bytes=combine_budget_bytes)
+    return codes[0], scores[0], bool(overflow[0])
 
 
 def merge_window_lists(codes: np.ndarray, scores: np.ndarray
