@@ -152,15 +152,17 @@ def _enumerate_sparse_branches(P_all: np.ndarray, prefix_all: np.ndarray, *,
                                ghosts_per_group: int, cap: int):
     """Large-k stage 1: per-branch merged survivor lists.
 
-    The survivor-list capacity adapts: start small (top-k compaction cost
-    scales with cap^2 at the combine), double on overflow up to the user's
-    ``cap``, and fail loudly only when the ceiling is reached (silent
-    truncation would drop valid k-mers).
+    Survivor-list capacities adapt per span of the split tree: a cheap
+    host probe samples windows to size each span's list
+    (``sparse.probe_caps``), overflowing spans are doubled automatically
+    inside :func:`sparse.enumerate_sparse_many`, and only the user ceiling
+    ``cap`` fails loudly (silent truncation would drop valid k-mers).
     """
     G = P_all.shape[0]
     per_branch = []
     explored = 0
-    current_cap = min(512, cap)
+    caps = sparse_mod.probe_caps(P_all, prefix_all, eps, k=k, sigma=sigma,
+                                 cap=cap)
     # ghosts are batched (vmapped) so each window block costs one device
     # dispatch + one host transfer for the whole chunk, not one per ghost
     chunk_groups = max(1, 32 // ghosts_per_group)
@@ -168,18 +170,14 @@ def _enumerate_sparse_branches(P_all: np.ndarray, prefix_all: np.ndarray, *,
         nb = min(chunk_groups, G // ghosts_per_group - b0)
         i0 = b0 * ghosts_per_group
         i1 = (b0 + nb) * ghosts_per_group
-        while True:
-            codes, scores, overflow = sparse_mod.enumerate_sparse_many(
-                P_all[i0:i1], prefix_all[i0:i1], eps, k=k, sigma=sigma,
-                bits=bits, cap=current_cap)
-            if not overflow.any():
-                break
-            if current_cap >= cap:
-                raise RuntimeError(
-                    f"Survivor-list capacity {cap} exceeded (ghost rows "
-                    f"{i0}-{i1}). Increase --max-candidates or raise "
-                    "--omega.")
-            current_cap = min(current_cap * 2, cap)
+        codes, scores, overflow = sparse_mod.enumerate_sparse_many(
+            P_all[i0:i1], prefix_all[i0:i1], eps, k=k, sigma=sigma,
+            bits=bits, cap=cap, caps=caps)
+        if overflow.any():
+            raise RuntimeError(
+                f"Survivor-list capacity {cap} exceeded (ghost rows "
+                f"{i0}-{i1}). Increase --max-candidates or raise "
+                "--omega.")
         explored += int(np.isfinite(scores).sum())
         for b in range(nb):
             g0 = b * ghosts_per_group

@@ -31,7 +31,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .dense import NEG_INF, masked_halves, group_max
 
-__all__ = ["combine_max", "accumulate_ghosts_fused", "INTERPRET"]
+__all__ = ["combine_max", "accumulate_ghosts_fused", "staircase_emit",
+           "INTERPRET"]
 
 #: Interpreter mode for CPU testing (set IPK_TPU_INTERPRET=1; tests do).
 INTERPRET = os.environ.get("IPK_TPU_INTERPRET", "0") == "1"
@@ -235,3 +236,150 @@ def accumulate_ghosts_fused(P_all: jnp.ndarray, prefix_all: jnp.ndarray,
         A, counts = out
         return A.reshape(G, -1), counts
     return out.reshape(G, -1)
+
+
+# ---------------------------------------------------------------------------
+# staircase combine+emit (the sparse large-k path's hot kernel)
+# ---------------------------------------------------------------------------
+
+def _emit_kernel(eps_ref, sL_ref, cL_ref, sR_ref, cR_ref,
+                 os_ref, ol_ref, or_ref, *, w_blk: int, CL: int, CRp: int,
+                 cap: int, T_pad: int):
+    """Per window: walk left-list rows (sorted desc) until the first dead
+    row, storing each live row's full [CRp] combine at its running offset.
+
+    Correctness of the contiguous emission rests on two properties of
+    sorted-descending lists (cf. DCLA's sorted early-break,
+    ``pk_compute.cpp:61-110``):
+    * survivors of row i form a lane PREFIX of sR (sR sorted desc), so the
+      row's dead tail starts exactly at off+cnt — where the NEXT row's store
+      begins, overwriting it (ascending-offset overwrite);
+    * per-row survivor counts are non-increasing (sL sorted desc), so the
+      first row with cnt == 0 ends the window (early exit).
+    The last stored row's dead tail is patched with -inf after the loop, so
+    finite slots == survivors, in row-major (i asc, j asc) order — the same
+    emission order as the XLA fallback. A window whose emission would pass
+    ``cap`` stops with off > cap, which the caller detects as overflow via
+    the finite count.
+    """
+    def per_window(w, _):
+        eps_w = eps_ref[0, w]
+        os_ref[0, pl.ds(w, 1), :] = jnp.full((1, T_pad), NEG_INF,
+                                             jnp.float32)
+        sR = sR_ref[0, pl.ds(w, 1), :]          # [1, CRp]
+        cR = cR_ref[0, pl.ds(w, 1), :]
+
+        def cond(st):
+            _, off, alive = st
+            return alive & (off <= cap)
+
+        def body(st):
+            i, off, _ = st
+            sl = sL_ref[0, w, i]
+            cl = cL_ref[0, w, i]
+            srow = sl + sR
+            cnt = jnp.sum((srow > eps_w).astype(jnp.int32))
+
+            @pl.when(cnt > 0)
+            def _():
+                os_ref[0, pl.ds(w, 1), pl.ds(off, CRp)] = srow
+                ol_ref[0, pl.ds(w, 1), pl.ds(off, CRp)] = jnp.full(
+                    (1, CRp), cl, jnp.int32)
+                or_ref[0, pl.ds(w, 1), pl.ds(off, CRp)] = cR
+            alive = (cnt > 0) & (i + 1 < CL)
+            return (i + 1, off + cnt, alive)
+
+        _, off, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), jnp.int32(0), jnp.bool_(CL > 0)))
+        os_ref[0, pl.ds(w, 1), pl.ds(off, CRp)] = jnp.full(
+            (1, CRp), NEG_INF, jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, w_blk, per_window, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "w_blk", "interpret"))
+def staircase_emit(sL: jnp.ndarray, cL: jnp.ndarray, sR: jnp.ndarray,
+                   cR: jnp.ndarray, eps: jnp.ndarray, *, cap: int,
+                   w_blk: int | None = None,
+                   interpret: bool | None = None):
+    """Capacity-bounded threshold combine of two sorted survivor lists.
+
+    sL/cL: [G, W, CL] f32 scores / uint32 codes sorted score-descending;
+    sR/cR: [G, W, CR] likewise; eps: [G, W] per-window thresholds.
+    Emits all pairs with ``fl(sL[i]+sR[j]) > eps`` (strict, exact f32) as
+    (code_l [G, W, cap] uint32, code_r, scores [G, W, cap] f32,
+    counts [G, W] int32). Slots beyond a window's count have score -inf
+    (codes there are garbage); counts > cap flags overflow — such windows'
+    lists are incomplete and the caller must retry with a larger cap.
+
+    Work is O(live_rows · CR) per window — proportional to survivors, not
+    to the CL·CR product (the TPU analog of DCLA's early-break pruning).
+    """
+    if interpret is None:
+        interpret = INTERPRET
+    G, W, CL = sL.shape
+    CR = sR.shape[2]
+    if w_blk is None:
+        w_blk = 8 if CL <= 1024 else (4 if CL <= 2048 else 2)
+    w_blk = max(1, min(w_blk, W))
+    CRp = -(-CR // 128) * 128
+    Wp = -(-W // w_blk) * w_blk
+    T_pad = -(-(cap + 2 * CRp) // 128) * 128
+
+    sLp = sL
+    cLi = jax.lax.bitcast_convert_type(cL, jnp.int32)
+    sRp = sR
+    cRi = jax.lax.bitcast_convert_type(cR, jnp.int32)
+    epsp = eps
+    if CRp != CR:
+        sRp = jnp.concatenate(
+            [sRp, jnp.full((G, W, CRp - CR), NEG_INF, jnp.float32)], axis=2)
+        cRi = jnp.concatenate(
+            [cRi, jnp.zeros((G, W, CRp - CR), jnp.int32)], axis=2)
+    if Wp != W:
+        pw = Wp - W
+        sLp = jnp.concatenate(
+            [sLp, jnp.zeros((G, pw, CL), jnp.float32)], axis=1)
+        cLi = jnp.concatenate(
+            [cLi, jnp.zeros((G, pw, CL), jnp.int32)], axis=1)
+        sRp = jnp.concatenate(
+            [sRp, jnp.full((G, pw, CRp), NEG_INF, jnp.float32)], axis=1)
+        cRi = jnp.concatenate(
+            [cRi, jnp.zeros((G, pw, CRp), jnp.int32)], axis=1)
+        # +inf threshold: padded windows emit nothing
+        epsp = jnp.concatenate(
+            [epsp, jnp.full((G, pw), np.inf, jnp.float32)], axis=1)
+
+    kernel = functools.partial(_emit_kernel, w_blk=w_blk, CL=CL, CRp=CRp,
+                               cap=cap, T_pad=T_pad)
+    out_shape = [jax.ShapeDtypeStruct((G, Wp, T_pad), jnp.float32),
+                 jax.ShapeDtypeStruct((G, Wp, T_pad), jnp.int32),
+                 jax.ShapeDtypeStruct((G, Wp, T_pad), jnp.int32)]
+    out_specs = [pl.BlockSpec((1, w_blk, T_pad), lambda g, wb: (g, wb, 0),
+                              memory_space=pltpu.VMEM) for _ in range(3)]
+    scores, ol, orr = pl.pallas_call(
+        kernel,
+        grid=(G, Wp // w_blk),
+        in_specs=[
+            pl.BlockSpec((1, w_blk), lambda g, wb: (g, wb),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, w_blk, CL), lambda g, wb: (g, wb, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, w_blk, CL), lambda g, wb: (g, wb, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, w_blk, CRp), lambda g, wb: (g, wb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w_blk, CRp), lambda g, wb: (g, wb, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(epsp, sLp, cLi, sRp, cRi)
+    scores = scores[:, :W]
+    counts = jnp.isfinite(scores).sum(axis=2, dtype=jnp.int32)
+    clu = jax.lax.bitcast_convert_type(ol[:, :W, :cap], jnp.uint32)
+    cru = jax.lax.bitcast_convert_type(orr[:, :W, :cap], jnp.uint32)
+    return clu, cru, scores[:, :, :cap], counts

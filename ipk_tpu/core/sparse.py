@@ -1,60 +1,210 @@
 """Capacity-bounded sparse enumeration for large k.
 
 The dense path (``dense.py``) scores all σ^k candidates, which is optimal for
-k ≤ ~12 DNA / ~6 AA but grows as σ^k regardless of pruning. The reference
-handles large k with recursive survivor lists whose sizes adapt to the data
+small keyspaces but grows as σ^k regardless of pruning. The reference handles
+large k with recursive survivor lists whose sizes adapt to the data
 (``pk_compute.cpp:42-114``); data-dependent sizes are hostile to XLA, so this
 module uses the statically-shaped equivalent flagged in SURVEY.md §7.4:
-**capacity-bounded survivor lists with overflow detection**.
+**capacity-bounded survivor lists with overflow detection**, with one crucial
+refinement over a single global bound: capacities are **per span of the DCLA
+split tree** and sized from the data.
 
-Per span (j, h) of the same split tree, keep at most ``cap`` surviving
-(code, score) pairs per window. Pair selection is a **staircase combine**
-(:func:`_staircase_combine`): each level's lists are kept score-descending,
-so the survivors of ``sL[i] + sR[j] > eps`` form a prefix in j for every i
-(f32 addition is monotone). Counts use the exact f32 predicate via a fused
-compare-reduce (regular VPU dataflow — XLA's sort and gather HLOs are an
-order of magnitude off speed-of-light at these shapes, so the path uses
-neither); extraction maps flat survivor slots back to (i, j) with
-membership masks (``offx[i] <= t < offx[i+1]``) reduced by masked sums — a
-single live term per slot, so the sums are exact in any order. This is the
-vectorized equivalent of DCLA's sort-the-smaller-side + early-break
-pairwise loop (``pk_compute.cpp:61-110``).
+At realistic (ω, k) the per-span survivor counts are minuscule compared to
+the candidate space (measured on AR-like posteriors: DNA k=12 ω=2 keeps ≤
+~256 of 4096 half-window candidates; AA k=6 ω=4 keeps ≤ ~256 of 8000 at
+h=3), so a cheap host-side probe (:func:`probe_caps`) samples a few windows,
+runs the exact recursion on variable-length numpy lists, and snaps each
+span's capacity to a small padded bound. The device computation is then
+O(Σ_span W·cap_L·cap_R) instead of O(W·σ^k) — the same data-dependent win
+the reference's recursion gets, with static shapes. Overflow (a window
+exceeding a span's cap) is detected per span and the affected span's cap is
+doubled and the chunk re-run (compile cache per cap tuple), failing loudly
+only at the user ceiling — silent truncation would drop valid k-mers.
 
-An overflow flag is returned per ghost so callers can fail loudly and retry
-with a larger cap (silent truncation would drop valid k-mers). Scores follow
-the identical f32 summation tree, so values are bit-equal to the dense path.
+Per span (j, h), survivors are kept as (code, score) lists sorted
+score-descending. Combining two sorted lists under a threshold is a
+**staircase**: the surviving j for each i form a prefix in j (f32 addition is
+monotone), so the survivor region is fully described by per-row counts. On
+TPU the combine+emit runs in a fused Pallas kernel
+(``pallas_kernels.staircase_emit``): both lists VMEM/SMEM-resident, rows
+walked until the first dead row (sorted ⇒ survivors form a row prefix), each
+live row's survivor prefix stored at its running offset — the vectorized
+equivalent of DCLA's sort-the-smaller-side + early-break pairwise loop
+(``pk_compute.cpp:61-110``). Elsewhere (CPU tests) an XLA fallback computes
+exact counts via a fused compare-reduce and extracts survivors with
+membership masks (no gather/scatter/sort HLOs in the hot path).
 
-Codes stay ``uint32`` on device (every half-window needs ≤ 32 bits for the
-supported k ranges: 31 DNA → 16·2 bits, 12 AA → 6·5 bits); the host packs
-the final (prefix, suffix) pairs into reference-layout ``uint64`` keys
+Scores follow the identical f32 summation tree, so values are bit-equal to
+the dense path. Codes stay ``uint32`` on device (every half-window needs ≤
+32 bits for the supported k ranges); the host packs the final
+(prefix, suffix) pairs into reference-layout ``uint64`` keys
 (``pk_compute.cpp:96-105``) — no 64-bit emulation in the hot path.
-
-Base levels with σ^h ≤ cap are complete dense lists (no selection at all);
-compaction only starts where the candidate space first exceeds the cap.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .dense import NEG_INF
+from .dense import NEG_INF, split_tree
 
 __all__ = ["enumerate_sparse", "enumerate_sparse_many",
-           "enumerate_pairs_device", "merge_window_lists"]
+           "enumerate_pairs_device", "merge_window_lists", "probe_caps",
+           "default_caps", "normalize_caps"]
 
-#: fused-elementwise working-set budget for the combine (elements per chunk)
+#: fused-elementwise working-set budget for the XLA fallback (elems per chunk)
 _CHUNK_ELEMS = 1 << 26
 
+#: spans with σ^h at or below this stay complete (no selection, no overflow)
+COMPLETE_LIMIT = 512
 
-def _range_max(prefix: jnp.ndarray, start_rel: int, length: int,
-               W: int) -> jnp.ndarray:
-    return (jax.lax.dynamic_slice(prefix, (start_rel + length,), (W,))
-            - jax.lax.dynamic_slice(prefix, (start_rel,), (W,)))
+#: Pallas kernel limits (list sizes beyond this use the XLA fallback)
+_KERNEL_MAX_CL = 4096
+_KERNEL_MAX_CR = 2048
+
+
+# ---------------------------------------------------------------------------
+# capacity plans
+# ---------------------------------------------------------------------------
+
+def _spans(k: int) -> List[Tuple[int, int]]:
+    """Non-leaf spans of the split tree, children before parents (top last)."""
+    return [(j, h) for (j, h) in split_tree(k) if h > 1]
+
+
+def _natural_size(j: int, h: int, sigma: int,
+                  caps: Dict[Tuple[int, int], int]) -> int:
+    """List size of span (j, h) given the caps of its children."""
+    if h == 1:
+        return sigma
+    hl = h // 2
+    cl = caps.get((j, hl), _natural_size(j, hl, sigma, caps))
+    cr = caps.get((j + hl, h - hl),
+                  _natural_size(j + hl, h - hl, sigma, caps))
+    return cl * cr
+
+
+def default_caps(k: int, sigma: int, cap: int,
+                 initial: int = 256) -> Dict[Tuple[int, int], int]:
+    """Conservative starting capacities: complete below COMPLETE_LIMIT,
+    ``initial`` (≤ cap) elsewhere."""
+    caps: Dict[Tuple[int, int], int] = {}
+    for (j, h) in _spans(k):
+        size = _natural_size(j, h, sigma, caps)
+        caps[(j, h)] = size if size <= COMPLETE_LIMIT else min(cap, max(
+            128, initial))
+    return caps
+
+
+def normalize_caps(caps: Dict[Tuple[int, int], int], k: int, sigma: int,
+                   cap: int) -> Dict[Tuple[int, int], int]:
+    """Clamp caps to natural sizes / ceiling and snap to 128 multiples."""
+    out: Dict[Tuple[int, int], int] = {}
+    for (j, h) in _spans(k):
+        natural = _natural_size(j, h, sigma, out)
+        c = caps.get((j, h), natural)
+        if natural <= COMPLETE_LIMIT and natural <= cap:
+            out[(j, h)] = natural
+        else:
+            c = min(max(c, 128), cap, natural)
+            out[(j, h)] = min(natural, cap, -(-c // 128) * 128)
+    return out
+
+
+def _caps_key(caps: Dict[Tuple[int, int], int]) -> tuple:
+    return tuple(sorted(caps.items()))
+
+
+def probe_caps(P_all: np.ndarray, prefix_all: np.ndarray, log_threshold,
+               *, k: int, sigma: int, cap: int, max_ghosts: int = 4,
+               max_windows: int = 12, margin: float = 2.0,
+               ) -> Dict[Tuple[int, int], int]:
+    """Sample a few (ghost, window) pairs, run the exact survivor recursion
+    on variable-length numpy lists, and derive per-span capacities (max
+    observed count × margin, snapped up to a multiple of 128).
+
+    The probe is exact on the sampled windows (same f32 eps chains and
+    summation tree as the device code); unsampled windows may still overflow,
+    which the device path detects per span and the caller repairs by
+    doubling. Cost is O(samples · survivors²) — negligible next to a build.
+    """
+    P_all = np.asarray(P_all, dtype=np.float32)
+    prefix_all = np.asarray(prefix_all, dtype=np.float32)
+    G, S = P_all.shape[0], P_all.shape[1]
+    W = S - k + 1
+    maxima: Dict[Tuple[int, int], int] = {}
+    if W <= 0 or G == 0:
+        return normalize_caps(maxima, k, sigma, cap)
+    g_idx = np.unique(np.linspace(0, G - 1, min(G, max_ghosts)).astype(int))
+    w_idx = np.unique(np.linspace(0, W - 1, min(W, max_windows)).astype(int))
+
+    for g in g_idx:
+        P = P_all[g]
+        prefix = prefix_all[g]
+        for w in w_idx:
+            def rng_max(s: int, l: int) -> np.float32:
+                return np.float32(prefix[w + s + l] - prefix[w + s])
+
+            def lists(j: int, h: int, eps: np.float32) -> np.ndarray:
+                if h == 1:
+                    col = P[w + j]
+                    return col[col > eps]
+                hl = h // 2
+                hr = h - hl
+                eps_l = np.float32(eps - rng_max(j + hl, hr))
+                eps_r = np.float32(eps - rng_max(j, hl))
+                a = lists(j, hl, eps_l)
+                b = lists(j + hl, hr, eps_r)
+                if a.size * b.size > (1 << 24):
+                    # pathological window: record the ceiling and truncate
+                    maxima[(j, h)] = max(maxima.get((j, h), 0), cap)
+                    a = np.sort(a)[::-1][:4096]
+                    b = np.sort(b)[::-1][:4096]
+                s = (a[:, None] + b[None, :]).ravel()
+                s = s[s > eps]
+                maxima[(j, h)] = max(maxima.get((j, h), 0), s.size)
+                return s
+
+            lists(0, k, np.float32(log_threshold))
+
+    caps = {span: max(128, int(-(-int(n * margin) // 128) * 128))
+            for span, n in maxima.items()}
+    return normalize_caps(caps, k, sigma, cap)
+
+
+# ---------------------------------------------------------------------------
+# span primitives (batched over [G, W, ...])
+# ---------------------------------------------------------------------------
+
+def _span_eps(prefix_all: jnp.ndarray, k: int, W: int, log_threshold
+              ) -> Dict[Tuple[int, int], jnp.ndarray]:
+    """Per-span per-window pruning thresholds [G, W], by the reference's
+    exact f32 subtraction chain (``pk_compute.cpp:54-55``)."""
+    G = prefix_all.shape[0]
+    eps: Dict[Tuple[int, int], jnp.ndarray] = {
+        (0, k): jnp.full((G, W), log_threshold, dtype=jnp.float32)}
+
+    def range_max(s: int, l: int) -> jnp.ndarray:
+        return (jax.lax.slice_in_dim(prefix_all, s + l, s + l + W, axis=1)
+                - jax.lax.slice_in_dim(prefix_all, s, s + W, axis=1))
+
+    def descend(j: int, h: int) -> None:
+        if h <= 1:
+            return
+        hl = h // 2
+        hr = h - hl
+        parent = eps[(j, h)]
+        eps[(j, hl)] = parent - range_max(j + hl, hr)
+        eps[(j + hl, hr)] = parent - range_max(j, hl)
+        descend(j, hl)
+        descend(j + hl, hr)
+
+    descend(0, k)
+    return eps
 
 
 def _sort_desc(codes: jnp.ndarray, scores: jnp.ndarray):
@@ -64,179 +214,238 @@ def _sort_desc(codes: jnp.ndarray, scores: jnp.ndarray):
     return codes, -neg
 
 
-def _staircase_combine(cL, sL, cR, sR, eps, *, cap: int, shift):
-    """Capacity-bounded pairwise combine without materializing the product.
+def _complete_product(cl, sl, cr, sr, eps, shift):
+    """Materialize the full child product (CL·CR ≤ cap): no selection."""
+    G, W, CL = sl.shape
+    CR = sr.shape[2]
+    scores = (sl[:, :, :, None] + sr[:, :, None, :]).reshape(G, W, CL * CR)
+    scores = jnp.where(scores > eps[:, :, None], scores, NEG_INF)
+    if shift is None:
+        clg = jnp.broadcast_to(cl[:, :, :, None],
+                               (G, W, CL, CR)).reshape(G, W, -1)
+        crg = jnp.broadcast_to(cr[:, :, None, :],
+                               (G, W, CL, CR)).reshape(G, W, -1)
+        return (clg, crg), scores
+    codes = ((cl[:, :, :, None] << np.uint32(shift)) | cr[:, :, None, :]
+             ).reshape(G, W, CL * CR)
+    return codes, scores
 
-    The TPU translation of DCLA's sorted early-termination
-    (``pk_compute.cpp:61-110``): with both lists sorted score-descending,
-    the surviving j for each i form a PREFIX (f32 addition is monotone), so
-    the survivor region is a monotone staircase fully described by the
-    per-i counts. Counts use the exact predicate ``fl(sL[i]+sR[j]) > eps``
-    via a fused compare-reduce (CL-chunked); flat slot t is mapped back to
-    its (i, j) with membership masks against the count cumsum and masked
-    one-live-term sums (exact in f32, no gather/scatter/sort HLOs — those
-    are far off speed-of-light on TPU at these shapes).
 
-    cL/sL: [W, CL], cR/sR: [W, CR] (both sorted desc). Returns
-    (codes, scores [W, C], overflow [W]) with C = min(cap, CL*CR); with
-    ``shift=None`` codes is the pair (cL_sel, cR_sel) instead of a packed
-    uint32. Output rows are NOT sorted; callers sort if needed.
+def _staircase_xla(cL, sL, cR, sR, eps, *, cap: int, shift):
+    """XLA fallback of the staircase combine (CPU / interpret builds).
+
+    With both lists sorted score-descending, the surviving j for each i form
+    a PREFIX (f32 addition is monotone), so the survivor region is a monotone
+    staircase fully described by per-i counts. Counts use the exact predicate
+    ``fl(sL[i]+sR[j]) > eps`` via a fused compare-reduce; flat slot t maps
+    back to its (i, j) with membership masks against the count cumsum and
+    masked one-live-term sums (exact in f32 — exactly one live term per
+    slot). Emission order is row-major (i asc, j asc), matching the kernel.
+
+    cL/sL: [G, W, CL], cR/sR: [G, W, CR] (sorted desc). Returns
+    (codes, scores [G, W, C], counts [G, W]) with C = min(cap, CL·CR); with
+    ``shift=None`` codes is the (cL_sel, cR_sel) pair.
     """
-    W, CL = sL.shape
-    CR = sR.shape[1]
+    G, W, CL = sL.shape
+    CR = sR.shape[2]
     out_cap = min(cap, CL * CR)
 
     # exact per-i survivor counts (the staircase profile)
-    cc = max(1, min(CL, _CHUNK_ELEMS // max(1, W * CR)))
+    cc = max(1, min(CL, _CHUNK_ELEMS // max(1, G * W * CR)))
     cnts = []
     for c0 in range(0, CL, cc):
-        part = ((sL[:, c0:c0 + cc, None] + sR[:, None, :])
-                > eps[:, None, None]).sum(axis=2, dtype=jnp.int32)
+        part = ((sL[:, :, c0:c0 + cc, None] + sR[:, :, None, :])
+                > eps[:, :, None, None]).sum(axis=3, dtype=jnp.int32)
         cnts.append(part)
-    cnt = jnp.concatenate(cnts, axis=1) if len(cnts) > 1 else cnts[0]
+    cnt = jnp.concatenate(cnts, axis=2) if len(cnts) > 1 else cnts[0]
     offx = jnp.concatenate(
-        [jnp.zeros((W, 1), jnp.int32),
-         jnp.cumsum(cnt, axis=1, dtype=jnp.int32)], axis=1)   # [W, CL+1]
-    total = offx[:, -1]
-    overflow = total > out_cap
+        [jnp.zeros((G, W, 1), jnp.int32),
+         jnp.cumsum(cnt, axis=2, dtype=jnp.int32)], axis=2)  # [G, W, CL+1]
+    total = offx[..., -1]
 
-    jr = jax.lax.broadcasted_iota(jnp.int32, (1, 1, CR), 2)
+    jr = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, CR), 3)
 
-    tc = max(1, min(out_cap, _CHUNK_ELEMS // max(1, W * max(CL, CR))))
+    tc = max(1, min(out_cap,
+                    _CHUNK_ELEMS // max(1, G * W * max(CL, CR))))
     out_cl, out_cr, out_s = [], [], []
     for t0 in range(0, out_cap, tc):
         t1 = min(out_cap, t0 + tc)
         ks = jnp.arange(t0, t1, dtype=jnp.int32)
-        t = ks[None, :, None]                       # [1, T, 1]
+        t = ks[None, None, :, None]                    # [1, 1, T, 1]
         # triangular bound: cnt is non-increasing (both lists sorted desc),
         # so offx[i] >= i wherever cnt[i] >= 1; slot t's left row satisfies
         # offx[i] <= t, hence i <= t < t1 — and jj = t - offx[i] <= t too.
         il = min(CL, t1)
         jl = min(CR, t1)
         # membership: slot t lies in left-row i iff offx[i] <= t < offx[i+1]
-        # (exactly one i for t < total, none otherwise)
-        A = offx[:, None, :il + 1] <= t             # [W, T, il+1]
+        A = offx[:, :, None, :il + 1] <= t             # [G, W, T, il+1]
         M = A[..., :-1] & ~A[..., 1:]
 
         def pick_l(f, dt, M=M, il=il):
             # one live term per slot: the masked sum is exact in any dtype
-            return jnp.where(M, f[:, None, :il], 0).sum(axis=2, dtype=dt)
+            return jnp.where(M, f[:, :, None, :il], 0).sum(axis=3, dtype=dt)
 
-        prev = pick_l(offx[:, :-1], jnp.int32)
-        jj = ks[None, :] - prev
-        N = jj[:, :, None] == jr[..., :jl]          # [W, T, jl]
+        prev = pick_l(offx[..., :-1], jnp.int32)
+        jj = ks[None, None, :] - prev
+        N = jj[:, :, :, None] == jr[..., :jl]          # [G, W, T, jl]
 
         def pick_r(f, dt, N=N, jl=jl):
-            return jnp.where(N, f[:, None, :jl], 0).sum(axis=2, dtype=dt)
+            return jnp.where(N, f[:, :, None, :jl], 0).sum(axis=3, dtype=dt)
 
         s = pick_l(sL, jnp.float32) + pick_r(sR, jnp.float32)
-        valid = (ks[None, :] < total[:, None]) & (s > eps[:, None])
+        valid = (ks[None, None, :] < total[..., None]) & (s > eps[..., None])
         out_s.append(jnp.where(valid, s, NEG_INF))
         out_cl.append(pick_l(cL, jnp.uint32))
         out_cr.append(pick_r(cR, jnp.uint32))
 
-    cat = (lambda xs: jnp.concatenate(xs, axis=1) if len(xs) > 1 else xs[0])
+    cat = (lambda xs: jnp.concatenate(xs, axis=2) if len(xs) > 1 else xs[0])
     clg, crg, s = cat(out_cl), cat(out_cr), cat(out_s)
     if shift is None:
-        return (clg, crg), s, overflow
-    return (clg << np.uint32(shift)) | crg, s, overflow
+        return (clg, crg), s, total
+    return (clg << np.uint32(shift)) | crg, s, total
 
 
-def _span_lists(P: jnp.ndarray, prefix: jnp.ndarray, j: int, h: int,
-                eps: jnp.ndarray, *, k: int, sigma: int, bits: int,
-                cap: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Survivor lists for span (j, h) at every window offset.
-
-    Returns (codes [W, C] uint32, scores [W, C], overflow [W] bool) with
-    C ≤ cap, rows sorted score-descending; invalid slots have score -inf.
-    Requires bits·h ≤ 32 (callers split at the top level first).
-    """
-    W = P.shape[0] - k + 1
-    if h == 1:
-        T = jax.lax.dynamic_slice(P, (j, 0), (W, sigma))
-        scores = jnp.where(T > eps[:, None], T, NEG_INF)
-        codes = jnp.broadcast_to(
-            jax.lax.broadcasted_iota(jnp.uint32, (1, sigma), 1), (W, sigma))
-        codes, scores = _sort_desc(codes, scores)
-        return codes, scores, jnp.zeros((W,), dtype=bool)
-
+def _combine(lists, span, eps_span, *, sigma: int, bits: int,
+             caps: Dict[Tuple[int, int], int], use_kernel: bool,
+             top: bool):
+    """Build span's survivor list from its children. Returns
+    (codes-or-pair, scores, overflow[G])."""
+    j, h = span
     hl = h // 2
     hr = h - hl
-    eps_l = eps - _range_max(prefix, j + hl, hr, W)
-    eps_r = eps - _range_max(prefix, j, hl, W)
-    cl, sl, ol = _span_lists(P, prefix, j, hl, eps_l, k=k, sigma=sigma,
-                             bits=bits, cap=cap)
-    cr, sr, orr = _span_lists(P, prefix, j + hl, hr, eps_r, k=k,
-                              sigma=sigma, bits=bits, cap=cap)
-    CL, CR = sl.shape[1], sr.shape[1]
-    shift = bits * hr
+    cl, sl, ovl = lists[(j, hl)]
+    cr, sr, ovr = lists[(j + hl, hr)]
+    CL, CR = sl.shape[2], sr.shape[2]
+    out_cap = caps[span]
+    shift = None if top else bits * hr
+    child_ovf = ovl | ovr
 
-    if CL * CR <= cap:
-        # product fits the cap: materialize it whole (no selection at all)
-        scores = (sl[:, :, None] + sr[:, None, :]).reshape(W, -1)
-        scores = jnp.where(scores > eps[:, None], scores, NEG_INF)
-        codes = ((cl[:, :, None] << np.uint32(shift)) | cr[:, None, :]
-                 ).reshape(W, -1)
-        overflow = ol | orr
-    else:
-        codes, scores, ovf = _staircase_combine(
-            cl, sl, cr, sr, eps, cap=cap, shift=shift)
-        overflow = ol | orr | ovf
-    # keep every level's lists score-descending: the staircase prefix
-    # property at the parent level requires sorted children
-    codes, scores = _sort_desc(codes, scores)
-    return codes, scores, overflow
+    if CL * CR <= out_cap:
+        codes, scores = _complete_product(cl, sl, cr, sr, eps_span, shift)
+        return codes, scores, child_ovf
+
+    if use_kernel and CL <= _KERNEL_MAX_CL and CR <= _KERNEL_MAX_CR:
+        from .pallas_kernels import staircase_emit
+        clg, crg, scores, counts = staircase_emit(
+            sl, cl, sr, cr, eps_span, cap=out_cap)
+        ovf = (counts > out_cap).any(axis=1)
+        codes = ((clg, crg) if top
+                 else (clg << np.uint32(shift)) | crg)
+        return codes, scores, child_ovf | ovf
+    codes, scores, total = _staircase_xla(
+        cl, sl, cr, sr, eps_span, cap=out_cap, shift=shift)
+    ovf = (total > out_cap).any(axis=1)
+    return codes, scores, child_ovf | ovf
 
 
-def _top_pairs(P: jnp.ndarray, prefix: jnp.ndarray, log_threshold,
-               *, k: int, sigma: int, bits: int, cap: int):
-    """Full-window survivors for one ghost as (prefix, suffix) uint32 pairs.
+@functools.partial(jax.jit,
+                   static_argnames=("k", "sigma", "bits", "caps_t",
+                                    "use_kernel"))
+def _pairs_device(P_all, prefix_all, log_threshold, *, k: int, sigma: int,
+                  bits: int, caps_t: tuple, use_kernel: bool):
+    """Whole-batch device enumeration: ONE dispatch per (shape, caps).
 
-    Returns (cl_sel [W, C], cr_sel [W, C], scores [W, C], overflow [])."""
-    W = P.shape[0] - k + 1
-    eps = jnp.full((W,), log_threshold, dtype=jnp.float32)
+    P_all: [G, S, sigma] f32, prefix_all: [G, S+1] f32. Returns
+    (cl_sel, cr_sel [G, W, C] uint32, scores [G, W, C] f32,
+    overflow {span: [G] bool}) where a survivor's packed key is
+    ``cl << (bits·(k - k//2)) | cr`` (``pk_compute.cpp:96-105``).
+    All device arithmetic is f32/int32 — no 64-bit emulation."""
+    caps = dict(caps_t)
+    G, S = P_all.shape[0], P_all.shape[1]
+    W = S - k + 1
+    eps = _span_eps(prefix_all, k, W, log_threshold)
+
     if k == 1:
-        cr, s, ovf = _span_lists(P, prefix, 0, 1, eps, k=k, sigma=sigma,
-                                 bits=bits, cap=cap)
-        return jnp.zeros_like(cr), cr, s, ovf.any()
+        T = jax.lax.slice_in_dim(P_all, 0, W, axis=1)
+        scores = jnp.where(T > eps[(0, 1)][:, :, None], T, NEG_INF)
+        codes = jnp.broadcast_to(
+            jax.lax.broadcasted_iota(jnp.uint32, (1, 1, sigma), 2),
+            (G, W, sigma))
+        return (jnp.zeros_like(codes), codes, scores,
+                {(0, 1): jnp.zeros((G,), bool)})
 
-    hl = k // 2
-    hr = k - hl
-    eps_l = eps - _range_max(prefix, hl, hr, W)
-    eps_r = eps - _range_max(prefix, 0, hl, W)
-    cl, sl, ol = _span_lists(P, prefix, 0, hl, eps_l, k=k, sigma=sigma,
-                             bits=bits, cap=cap)
-    cr, sr, orr = _span_lists(P, prefix, hl, hr, eps_r, k=k, sigma=sigma,
-                              bits=bits, cap=cap)
-    CL, CR = sl.shape[1], sr.shape[1]
-    if CL * CR <= cap:
-        scores = (sl[:, :, None] + sr[:, None, :]).reshape(W, -1)
-        scores = jnp.where(scores > eps[:, None], scores, NEG_INF)
-        clg = jnp.broadcast_to(cl[:, :, None], (W, CL, CR)).reshape(W, -1)
-        crg = jnp.broadcast_to(cr[:, None, :], (W, CL, CR)).reshape(W, -1)
-        overflow = ol | orr
-    else:
-        (clg, crg), scores, ovf = _staircase_combine(
-            cl, sl, cr, sr, eps, cap=cap, shift=None)
-        overflow = ol | orr | ovf
-    return clg, crg, scores, overflow.any()
+    lists: Dict[Tuple[int, int], tuple] = {}
+    overflow: Dict[Tuple[int, int], jnp.ndarray] = {}
+    no_ovf = jnp.zeros((G,), dtype=bool)
+    for (j, h) in split_tree(k):
+        span = (j, h)
+        if h == 1:
+            T = jax.lax.slice_in_dim(P_all, j, j + W, axis=1)  # [G, W, σ]
+            scores = jnp.where(T > eps[span][:, :, None], T, NEG_INF)
+            codes = jnp.broadcast_to(
+                jax.lax.broadcasted_iota(jnp.uint32, (1, 1, sigma), 2),
+                (G, W, sigma))
+            codes, scores = _sort_desc(codes, scores)
+            lists[span] = (codes, scores, no_ovf)
+            continue
+        top = span == (0, k)
+        codes, scores, ovf = _combine(lists, span, eps[span], sigma=sigma,
+                                      bits=bits, caps=caps,
+                                      use_kernel=use_kernel, top=top)
+        if top:
+            overflow[span] = ovf
+            cl_sel, cr_sel = codes
+            return cl_sel, cr_sel, scores, {**overflow, span: ovf}
+        # keep every level's lists score-descending: the staircase prefix
+        # property at the parent level requires sorted children
+        codes, scores = _sort_desc(codes, scores)
+        lists[span] = (codes, scores, no_ovf)
+        overflow[span] = ovf
+    raise AssertionError("unreachable")  # pragma: no cover
 
 
-@functools.partial(jax.jit, static_argnames=("k", "sigma", "bits", "cap"))
+def _use_kernel_default() -> bool:
+    import os
+    forced = os.environ.get("IPK_TPU_SPARSE_KERNEL")
+    if forced is not None:
+        return forced == "1"
+    # TODO(r2): enable once the staircase kernel compiles under Mosaic
+    # (the r1 draft relied on SMEM array blocks + unaligned dynamic lane
+    # stores, both rejected by the TPU lowering).
+    return False
+
+
 def enumerate_pairs_device(P_all, prefix_all, log_threshold, *, k: int,
-                           sigma: int, bits: int, cap: int):
-    """Ghost-batched device enumeration: ONE dispatch for the whole batch.
+                           sigma: int, bits: int, cap: int,
+                           caps: Optional[Dict] = None,
+                           use_kernel: Optional[bool] = None):
+    """Ghost-batched device enumeration with adaptive per-span capacities.
 
-    P_all: [G, S, sigma] f32, prefix_all: [G, S+1] f32. Returns device arrays
-    (cl_sel, cr_sel [G, W, C] uint32, scores [G, W, C] f32, overflow [G])
-    where a survivor's packed key is ``cl << (bits·(k - k//2)) | cr``
-    (``pk_compute.cpp:96-105``). All arithmetic is f32/int32 — no 64-bit
-    emulation on device."""
-    def one(Pg, prefg):
-        return _top_pairs(Pg, prefg, log_threshold, k=k, sigma=sigma,
-                          bits=bits, cap=cap)
-
-    return jax.vmap(one)(P_all, prefix_all)
+    Runs :func:`_pairs_device`, doubling any span whose capacity overflows
+    (recompiles are cached per caps tuple) until the ``cap`` ceiling.
+    Returns (cl_sel, cr_sel [G, W, C] uint32, scores [G, W, C] f32,
+    overflow [G] bool) — overflow is only set when the ceiling is reached.
+    """
+    if use_kernel is None:
+        use_kernel = _use_kernel_default()
+    if caps is None:
+        caps = default_caps(k, sigma, cap)
+    caps = normalize_caps(caps, k, sigma, cap)
+    while True:
+        cl, cr, scores, ovf = _pairs_device(
+            P_all, prefix_all, jnp.float32(log_threshold), k=k, sigma=sigma,
+            bits=bits, caps_t=_caps_key(caps), use_kernel=use_kernel)
+        flagged = {span: flags for span, flags in ovf.items()
+                   if bool(flags.any())}
+        if not flagged:
+            G = P_all.shape[0]
+            return cl, cr, scores, np.zeros((G,), bool)
+        grew = False
+        new_caps = dict(caps)
+        for span in flagged:
+            j, h = span
+            natural = _natural_size(j, h, sigma, caps)
+            cur = caps[span]
+            if cur < min(cap, natural):
+                new_caps[span] = min(cap, natural, cur * 2)
+                grew = True
+        if not grew:
+            # ceiling reached: report which ghosts overflowed
+            combined = np.zeros((P_all.shape[0],), bool)
+            for flags in flagged.values():
+                combined |= np.asarray(flags)
+            return cl, cr, scores, combined
+        caps = normalize_caps(new_caps, k, sigma, cap)
 
 
 def _pack_host(cl: np.ndarray, cr: np.ndarray, *, k: int, bits: int
@@ -248,6 +457,9 @@ def _pack_host(cl: np.ndarray, cr: np.ndarray, *, k: int, bits: int
 
 def enumerate_sparse_many(P_all, prefix_all, log_threshold, *, k: int,
                           sigma: int, bits: int, cap: int = 4096,
+                          caps: Optional[Dict] = None,
+                          use_kernel: Optional[bool] = None,
+                          probe: bool = True,
                           window_block: int | None = None,
                           combine_budget_bytes: int = 1 << 28):
     """Ghost-batched sparse enumeration (host-facing).
@@ -266,8 +478,13 @@ def enumerate_sparse_many(P_all, prefix_all, log_threshold, *, k: int,
     if W <= 0 or G == 0:
         return (np.zeros((G, 0, 1), np.uint64),
                 np.zeros((G, 0, 1), np.float32), np.zeros((G,), bool))
+    if caps is None:
+        caps = (probe_caps(P_all, prefix_all, log_threshold, k=k,
+                           sigma=sigma, cap=cap)
+                if probe else default_caps(k, sigma, cap))
     # working set per ghost: a few [W, cap]-ish f32/u32 tensors per level
-    per_ghost = W * min(cap, sigma ** ((k + 1) // 2)) * 8 * max(
+    top_cap = min(cap, max(list(caps.values()) + [128]))
+    per_ghost = W * top_cap * 8 * max(
         4, 2 * int(np.ceil(np.log2(max(2, k)))))
     ghost_chunk = max(1, min(G, combine_budget_bytes // max(1, per_ghost)))
 
@@ -277,15 +494,25 @@ def enumerate_sparse_many(P_all, prefix_all, log_threshold, *, k: int,
         g1 = min(G, g0 + ghost_chunk)
         cl, cr, scores, ovf = enumerate_pairs_device(
             jnp.asarray(P_all[g0:g1]), jnp.asarray(prefix_all[g0:g1]),
-            jnp.float32(log_threshold), k=k, sigma=sigma, bits=bits, cap=cap)
+            np.float32(log_threshold), k=k, sigma=sigma, bits=bits, cap=cap,
+            caps=caps, use_kernel=use_kernel)
         out_c.append(_pack_host(cl, cr, k=k, bits=bits))
         out_s.append(np.asarray(scores, dtype=np.float32))
         overflow[g0:g1] = np.asarray(ovf)
+    if len(out_c) > 1:
+        # chunks may have adapted to different capacities: pad to the widest
+        Cmax = max(c.shape[2] for c in out_c)
+        out_c = [np.pad(c, ((0, 0), (0, 0), (0, Cmax - c.shape[2])))
+                 for c in out_c]
+        out_s = [np.pad(s, ((0, 0), (0, 0), (0, Cmax - s.shape[2])),
+                        constant_values=NEG_INF) for s in out_s]
     return np.concatenate(out_c), np.concatenate(out_s), overflow
 
 
 def enumerate_sparse(P, prefix, log_threshold, *, k: int, sigma: int,
                      bits: int, cap: int = 4096,
+                     caps: Optional[Dict] = None,
+                     use_kernel: Optional[bool] = None,
                      window_block: int | None = None,
                      combine_budget_bytes: int = 1 << 28):
     """Full-window survivor lists for one ghost matrix.
@@ -295,8 +522,8 @@ def enumerate_sparse(P, prefix, log_threshold, *, k: int, sigma: int,
     codes, scores, overflow = enumerate_sparse_many(
         np.asarray(P, dtype=np.float32)[None],
         np.asarray(prefix, dtype=np.float32)[None],
-        log_threshold, k=k, sigma=sigma, bits=bits, cap=cap,
-        window_block=window_block,
+        log_threshold, k=k, sigma=sigma, bits=bits, cap=cap, caps=caps,
+        use_kernel=use_kernel, window_block=window_block,
         combine_budget_bytes=combine_budget_bytes)
     return codes[0], scores[0], bool(overflow[0])
 
