@@ -122,20 +122,23 @@ def dense_stage1(P_all, k, sigma, eps, key_batches=1, block_w=64,
 
 
 def sparse_stage1(P_all, k, sigma, bits, eps, cap, pipeline=8):
-    """Ghost-batched capacity-bounded sparse path: one dispatch for the whole
-    batch; ``pipeline`` iterations timed through one small transfer (same
+    """Ghost-batched capacity-bounded sparse path, exactly as production:
+    probe-sized per-span caps + the staircase_select kernel on TPU;
+    ``pipeline`` iterations timed through one small transfer (same
     amortization methodology as dense_stage1)."""
     import jax
     import jax.numpy as jnp
     from ipk_tpu.core import dense
-    from ipk_tpu.core.sparse import enumerate_pairs_device
+    from ipk_tpu.core import sparse as sparse_mod
 
     prefix_all = dense.best_score_prefix(P_all)
+    caps = sparse_mod.probe_caps(P_all, prefix_all, eps, k=k, sigma=sigma,
+                                 cap=cap)
 
-    @jax.jit
     def counts(P, pre):
-        _, _, s, ovf = enumerate_pairs_device(
-            P, pre, jnp.float32(eps), k=k, sigma=sigma, bits=bits, cap=cap)
+        _, _, s, ovf = sparse_mod.enumerate_pairs_device(
+            P, pre, np.float32(eps), k=k, sigma=sigma, bits=bits, cap=cap,
+            caps=caps)
         return jnp.isfinite(s).sum(axis=(1, 2)).astype(jnp.int32), ovf
 
     P_dev = jax.device_put(P_all)
@@ -215,13 +218,14 @@ def main():
                                 ghost_chunk=149, pipeline=2)
     record("dna_k10", entry(tuples, secs, rate_cpp))
 
-    # 3. DNA k=12, key-batched (accumulator tile > VMEM otherwise)
+    # 3. DNA k=12: the sparse capacity-bounded path (production routing:
+    #    sigma^k >= MAX_DENSE_KEYSPACE switches off the dense accumulator)
     omega, k = 2.0, 12
     eps = np.float32(np.log10((omega / sigma) ** k))
     P = make_P(rng, 64, 600, sigma)
     rate_cpp, _ = cpp_baseline_rate(P[:2], k, sigma, eps)
-    tuples, secs = dense_stage1(P, k, sigma, eps, key_batches=16, block_w=64,
-                                pipeline=2)
+    tuples, secs = sparse_stage1(P, k, sigma, bits=2, eps=eps, cap=8192,
+                                 pipeline=2)
     record("dna_k12", entry(tuples, secs, rate_cpp))
 
     # 4a. AA k=6: capacity-bounded sparse path (the 64M keyspace fits the

@@ -31,7 +31,6 @@ tie-breaking (``branch_group.cpp:73-86``).
 from __future__ import annotations
 
 import functools
-import heapq
 import os
 import shutil
 import time
@@ -104,52 +103,91 @@ def _enumerate_batches(P_all: np.ndarray, prefix_all: np.ndarray, *,
                        k: int, sigma: int, eps: np.float32,
                        ghosts_per_group: int, key_batches: int,
                        backend: str, block_w: int, keep_positions: bool,
-                       ) -> Iterator[tuple]:
+                       mesh=None) -> Iterator[tuple]:
     """Yield per key batch:
-    ("dense", lo, A[B, chunk], pos[B, chunk] or None) for positions builds,
-    ("compact", lo, B, chunk, flat_idx, scores) otherwise — survivors are
-    compacted on device so only they cross to the host."""
+    ("dense", lo, A[B, chunk], pos[B, chunk] or None, count) for positions
+    builds, ("compact", lo, B, chunk, flat_idx, scores, count) otherwise —
+    survivors are compacted on device so only they cross to the host.
+    ``count`` is the batch's explored-tuple total, the reference's
+    per-window ``num_tuples`` (``db_builder.cpp:576-626``).
+
+    With ``mesh``, every key batch's combine runs branch-data-parallel via
+    ``shard_map`` over the mesh's "branch" axis (the loop the reference left
+    as a commented-out OpenMP pragma, ``db_builder.cpp:602-605``); ghosts are
+    padded to the mesh in whole groups and trimmed from the outputs.
+    Enumeration has no cross-branch arithmetic, so the result is
+    bit-identical to the single-device path.
+    """
     hl = k // 2
     hr = k - hl
     nl, nr = sigma ** hl, sigma ** hr
+    B0 = P_all.shape[0] // ghosts_per_group
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as PS
+        from .parallel.build_sharded import pad_ghosts
+        P_all, prefix_all, _ = pad_ghosts(
+            np.asarray(P_all, np.float32), np.asarray(prefix_all, np.float32),
+            mesh.shape["branch"] * ghosts_per_group)
+        sh = NamedSharding(mesh, PS("branch"))
+        P_all = jax.device_put(P_all, sh)
+        prefix_all = jax.device_put(prefix_all, sh)
     halves = jax.jit(jax.vmap(
         functools.partial(dense.masked_halves, k=k, sigma=sigma),
         in_axes=(0, 0, None)))
     L, R = halves(P_all, prefix_all, eps)
     L, R = jax.block_until_ready((L, R))
 
+    def combine(Lb, Rl):
+        if keep_positions:
+            A_g, pos_g, cnt = dense.combine_max_with_positions(
+                Lb, Rl, eps, block_w=block_w, with_count=True)
+            A_g = A_g.reshape(A_g.shape[0], -1)
+            pos_g = pos_g.reshape(pos_g.shape[0], -1)
+            A, pos = dense.group_max_with_positions(A_g, pos_g,
+                                                    ghosts_per_group)
+            return A, pos, cnt
+        if backend == "pallas":
+            from .core.pallas_kernels import combine_max
+            A_g, cnt = combine_max(Lb, Rl, eps, block_w=max(block_w, 64),
+                                   with_count=True)
+        else:
+            A_g, cnt = dense.combine_max_jnp(Lb, Rl, eps, block_w=block_w,
+                                             with_count=True)
+        A = dense.group_max(A_g.reshape(A_g.shape[0], -1), ghosts_per_group)
+        return A, cnt
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as PS
+        combine = jax.jit(jax.shard_map(
+            combine, mesh=mesh, in_specs=(PS("branch"), PS("branch")),
+            out_specs=PS("branch")))
+
     step = nl // key_batches
     for b in range(key_batches):
         Lb = jax.lax.slice_in_dim(L, b * step, (b + 1) * step, axis=2)
         if keep_positions:
-            A_g, pos_g = dense.combine_max_with_positions(
-                Lb, R, eps, block_w=block_w)
-            A_g = A_g.reshape(A_g.shape[0], -1)
-            pos_g = pos_g.reshape(pos_g.shape[0], -1)
-            A, pos = dense.group_max_with_positions(A_g, pos_g,
-                                                   ghosts_per_group)
-            yield "dense", b * step * nr, np.asarray(A), np.asarray(pos)
+            A, pos, cnt = combine(Lb, R)
+            count = int(np.asarray(cnt).sum())
+            yield ("dense", b * step * nr, np.asarray(A[:B0]),
+                   np.asarray(pos[:B0]), count)
         else:
-            if backend == "pallas":
-                from .core.pallas_kernels import combine_max
-                A_g = combine_max(Lb, R, eps, block_w=max(block_w, 64))
-            else:
-                A_g = dense.combine_max_jnp(Lb, R, eps, block_w=block_w)
-            A_g = A_g.reshape(A_g.shape[0], -1)
-            A = dense.group_max(A_g, ghosts_per_group)
-            flat_idx, scores = dense.compact_survivors(A)
-            B = A.shape[0]
-            yield ("compact", b * step * nr, B, step * nr, flat_idx, scores)
+            A, cnt = combine(Lb, R)
+            count = int(np.asarray(cnt).sum())
+            flat_idx, scores = dense.compact_survivors(A[:B0])
+            yield ("compact", b * step * nr, B0, step * nr, flat_idx,
+                   scores, count)
 
 
-#: Dense accumulators above this candidate-space size switch to the sparse
-#: capacity-bounded path (DNA k>13, AA k>6).
-MAX_DENSE_KEYSPACE = 1 << 27
+#: Candidate spaces at or above this size switch from the dense accumulator
+#: to the sparse capacity-bounded path (DNA k≥12, AA k≥6): at these sizes
+#: pruning leaves <0.1% survivors and paying σ^k per window loses to the
+#: staircase kernel (benchmarks/results.json: dna_k12 dense 3.3× vs sparse).
+MAX_DENSE_KEYSPACE = 1 << 24
 
 
 def _enumerate_sparse_branches(P_all: np.ndarray, prefix_all: np.ndarray, *,
                                k: int, sigma: int, bits: int, eps: np.float32,
-                               ghosts_per_group: int, cap: int):
+                               ghosts_per_group: int, cap: int, mesh=None):
     """Large-k stage 1: per-branch merged survivor lists.
 
     Survivor-list capacities adapt per span of the split tree: a cheap
@@ -172,7 +210,7 @@ def _enumerate_sparse_branches(P_all: np.ndarray, prefix_all: np.ndarray, *,
         i1 = (b0 + nb) * ghosts_per_group
         codes, scores, overflow = sparse_mod.enumerate_sparse_many(
             P_all[i0:i1], prefix_all[i0:i1], eps, k=k, sigma=sigma,
-            bits=bits, cap=cap, caps=caps)
+            bits=bits, cap=cap, caps=caps, mesh=mesh)
         if overflow.any():
             raise RuntimeError(
                 f"Survivor-list capacity {cap} exceeded (ghost rows "
@@ -325,9 +363,7 @@ def _sort_batch(keys, fv, counts, branches, scores, positions):
     order = np.lexsort((keys, fv))
     offsets = np.zeros(len(keys) + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
-    gather = (np.concatenate([np.arange(offsets[i], offsets[i + 1])
-                              for i in order])
-              if len(order) else np.zeros(0, dtype=np.int64))
+    gather = _range_gather(offsets, np.asarray(counts, dtype=np.int64), order)
     new_offsets = np.zeros(len(keys) + 1, dtype=np.int64)
     np.cumsum(counts[order], out=new_offsets[1:])
     return (keys[order], fv[order], new_offsets, branches[gather],
@@ -405,40 +441,34 @@ def build(original_tree: PhyloTree,
     rng_stream = RandomFilterStream() if filter_type == "random" else None
 
     use_sparse = sparse if sparse is not None else (
-        sigma ** kmer_size > MAX_DENSE_KEYSPACE)
+        sigma ** kmer_size >= MAX_DENSE_KEYSPACE)
     if use_sparse and keep_positions:
         raise RuntimeError(
             "--keep-positions is not supported on the sparse (large-k) path")
 
+    # every production path shards branch-data-parallel when the mesh has
+    # more than one device (dense, batched, positions, and sparse alike)
     n_devices = jax.device_count()
-    use_sharded = (n_devices > 1 and not keep_positions and not use_sparse
-                   and key_batches == 1
-                   and os.environ.get("IPK_TPU_NO_SHARD") != "1")
+    mesh = None
+    if n_devices > 1 and os.environ.get("IPK_TPU_NO_SHARD") != "1":
+        from .parallel.mesh import make_mesh
+        mesh = make_mesh(n_branch=n_devices, n_key=1)
     num_explored = 0
     if use_sparse:
         per_branch, num_explored = _enumerate_sparse_branches(
             P_all, prefix_all, k=kmer_size, sigma=sigma,
             bits=traits.bits_per_symbol, eps=eps,
-            ghosts_per_group=ghosts_per_group, cap=sparse_cap)
+            ghosts_per_group=ghosts_per_group, cap=sparse_cap, mesh=mesh)
         sparse_part = _extract_from_lists(
             per_branch, group_ids, original_tree.get_node_count(), threshold,
             filter_type, rng_stream, merge_branches)
         batches = iter(())
-    elif use_sharded:
-        # branch-data-parallel over all devices (SURVEY.md §2.3: the loop the
-        # reference left as a commented-out OpenMP pragma)
-        from .parallel.mesh import make_mesh
-        from .parallel.build_sharded import sharded_enumerate
-        mesh = make_mesh(n_branch=n_devices, n_key=1)
-        A_full = sharded_enumerate(
-            mesh, P_all, prefix_all, eps, k=kmer_size, sigma=sigma,
-            ghosts_per_group=ghosts_per_group, block_w=block_w)
-        batches = iter([("dense", 0, A_full, None)])
     else:
         batches = _enumerate_batches(
             P_all, prefix_all, k=kmer_size, sigma=sigma, eps=eps,
             ghosts_per_group=ghosts_per_group, key_batches=key_batches,
-            backend=backend, block_w=block_w, keep_positions=keep_positions)
+            backend=backend, block_w=block_w, keep_positions=keep_positions,
+            mesh=mesh)
 
     # ---- stages 2+3 -------------------------------------------------------
     parts = []
@@ -463,15 +493,15 @@ def build(original_tree: PhyloTree,
         handle_part(0, sparse_part)
     for batch_idx, batch in enumerate(batches):
         if batch[0] == "dense":
-            _, lo, A, pos = batch
-            num_explored += int(np.isfinite(A).sum())
+            _, lo, A, pos, count = batch
+            num_explored += count
             part = _extract_batch(
                 A, lo, pos, group_ids, kmer_size, traits,
                 original_tree.get_node_count(), threshold,
                 filter_type, rng_stream, merge_branches)
         else:
-            _, lo, B, chunk, flat_idx, scores = batch
-            num_explored += len(flat_idx)
+            _, lo, B, chunk, flat_idx, scores, count = batch
+            num_explored += count
             part = _extract_compact(
                 flat_idx, scores, B, chunk, lo, group_ids, kmer_size, traits,
                 original_tree.get_node_count(), threshold,
@@ -483,12 +513,11 @@ def build(original_tree: PhyloTree,
 
     t0 = time.monotonic()
     if on_disk:
+        # RAM-bounded: the result stays on disk (the reference likewise
+        # never re-reads the merged DB, db_builder.cpp:467-493); callers
+        # needing arrays must serialize.load() the output explicitly
         _merge_on_disk(db, temp_files, output_filename, uncompressed)
         shutil.rmtree(hashmaps_dir, ignore_errors=True)
-        if output_filename:
-            loaded = serialize.load(output_filename)
-            db.set_data(loaded.keys, loaded.filter_values, loaded.offsets,
-                        loaded.branches, loaded.scores, loaded.positions)
     else:
         keys = np.concatenate([p[0] for p in parts]) if parts else np.zeros(0, np.uint64)
         fv = np.concatenate([p[1] for p in parts]) if parts else np.zeros(0)
@@ -513,35 +542,147 @@ def build(original_tree: PhyloTree,
     return BuildResult(db, num_explored, timings)
 
 
+class _MergeBuffer:
+    """One loader's resident rows during the out-of-core merge."""
+
+    def __init__(self, loader: "serialize.BatchLoader", block_rows: int):
+        self.loader = loader
+        self.block_rows = block_rows
+        self.cols: Optional[tuple] = None    # (keys, fvs, counts, br, sc, po)
+
+    def fill(self) -> None:
+        if self.cols is None:
+            block = self.loader.read_block(self.block_rows)
+            if block is not None:
+                self.cols = block
+
+    @property
+    def rows(self) -> int:
+        return 0 if self.cols is None else len(self.cols[0])
+
+    def bound(self):
+        """(fv, key) of the last resident row — rows still on disk all sort
+        at or after it (the batch file is sorted ascending)."""
+        keys, fvs = self.cols[0], self.cols[1]
+        return (fvs[-1], keys[-1])
+
+    def take_upto(self, cut) -> Optional[tuple]:
+        """Split off the prefix with (fv, key) <= cut (None keeps all)."""
+        keys, fvs, counts, br, sc, po = self.cols
+        if cut is None:
+            m = len(keys)
+        else:
+            cut_fv, cut_key = cut
+            mask = (fvs < cut_fv) | ((fvs == cut_fv) & (keys <= cut_key))
+            m = int(mask.sum())     # sorted buffer: the mask is a prefix
+        if m == 0:
+            return None
+        ne = int(counts[:m].sum())
+        taken = (keys[:m], fvs[:m], counts[:m], br[:ne], sc[:ne],
+                 None if po is None else po[:ne])
+        if m == len(keys):
+            self.cols = None
+        else:
+            self.cols = (keys[m:], fvs[m:], counts[m:], br[ne:], sc[ne:],
+                         None if po is None else po[ne:])
+        return taken
+
+
 def _merge_on_disk(db: PhyloKmerDB, temp_files: List[str],
-                   output_filename: Optional[str], uncompressed: bool) -> None:
-    """Heap k-way merge of sorted batch DBs into the output archive
-    (``merge_stage2``, ``db_builder.cpp:392-458``): batches are key-disjoint
-    and internally sorted by (fv, key), so a heap over cursors yields the
-    global order."""
+                   output_filename: Optional[str], uncompressed: bool,
+                   positions: bool = False,
+                   block_rows: int = 1 << 16) -> None:
+    """Out-of-core k-way merge of sorted batch DBs into the output archive
+    (``merge_stage2``, ``db_builder.cpp:392-458``).
+
+    Batches are key-disjoint and internally sorted ascending by (fv, key), so
+    a streaming merge yields the global order. The reference advances one
+    record at a time through a priority queue of lazy cursors; the vectorized
+    equivalent advances one *block* at a time: refill every buffer, cut at
+    the smallest last-resident (fv, key) among loaders that still have rows
+    on disk (rows beyond a cut cannot interleave before it), lexsort the cut
+    prefix, spill the five columns to temp section files, and finally stream
+    the sections through the compressor. Peak memory is
+    O(block_rows · num_batches), independent of database size.
+    """
     if not output_filename:
         raise RuntimeError("--on-disk requires an output filename")
-    loaders = [serialize.BatchLoader(f) for f in temp_files]
+    loaders = [serialize.BatchLoader(f, block_rows=block_rows)
+               for f in temp_files]
     total_kmers = sum(l.get_num_kmers() for l in loaders)
-    total_entries = 0
-    heap = []
-    for i, loader in enumerate(loaders):
-        total_entries += int(loader._db.num_entries())
-        if loader.has_next():
-            loader.next()
-            key, fv, *_ = loader.current_arrays
-            heap.append((float(fv), int(key), i))
-    heapq.heapify(heap)
+    total_entries = sum(l.num_entries for l in loaders)
+    buffers = [_MergeBuffer(l, block_rows) for l in loaders]
+
+    spill_names = ["keys", "fvs", "counts", "branches", "scores"]
+    if positions:
+        spill_names.append("positions")
+    spill_dir = output_filename + ".merge"
+    os.makedirs(spill_dir, exist_ok=True)
+    spills = {n: open(os.path.join(spill_dir, n + ".bin"), "wb")
+              for n in spill_names}
+    try:
+        while True:
+            for b in buffers:
+                b.fill()
+            live = [b for b in buffers if b.rows]
+            if not live:
+                break
+            bounding = [b.bound() for b in live if b.loader.rows_left() > 0]
+            cut = min(bounding) if bounding else None
+            taken = [t for b in live if (t := b.take_upto(cut)) is not None]
+            if not taken:       # all resident rows sort after the cut
+                continue
+            keys = np.concatenate([t[0] for t in taken])
+            fvs = np.concatenate([t[1] for t in taken])
+            counts = np.concatenate([t[2] for t in taken])
+            order = np.lexsort((keys, fvs))
+            offs = np.zeros(len(keys) + 1, dtype=np.int64)
+            np.cumsum(counts, out=offs[1:])
+            gather = _range_gather(offs, counts, order)
+            spills["keys"].write(
+                np.ascontiguousarray(keys[order], "<u8").tobytes())
+            spills["fvs"].write(
+                np.ascontiguousarray(fvs[order], "<f4").tobytes())
+            spills["counts"].write(
+                np.ascontiguousarray(counts[order], "<u8").tobytes())
+            br = np.concatenate([t[3] for t in taken])
+            sc = np.concatenate([t[4] for t in taken])
+            spills["branches"].write(
+                np.ascontiguousarray(br[gather], "<u4").tobytes())
+            spills["scores"].write(
+                np.ascontiguousarray(sc[gather], "<f4").tobytes())
+            if positions:
+                po = np.concatenate([t[5] for t in taken])
+                spills["positions"].write(
+                    np.ascontiguousarray(po[gather], "<u4").tobytes())
+    finally:
+        for f in spills.values():
+            f.close()
+        for l in loaders:
+            l.close()
 
     with serialize.IpkWriter(output_filename,
                              compressed=not uncompressed) as w:
         w.write_header(db, total_kmers, total_entries)
-        while heap:
-            _, _, i = heapq.heappop(heap)
-            loader = loaders[i]
-            key, fv, branches, scores, positions = loader.current_arrays
-            w.write_kmer(int(key), float(fv), branches, scores, positions)
-            if loader.has_next():
-                loader.next()
-                nkey, nfv, *_ = loader.current_arrays
-                heapq.heappush(heap, (float(nfv), int(nkey), i))
+        for name in spill_names:
+            path = os.path.join(spill_dir, name + ".bin")
+            with open(path, "rb") as f:
+                while chunk := f.read(1 << 22):
+                    w.write_raw(chunk)
+    shutil.rmtree(spill_dir, ignore_errors=True)
+
+
+def _range_gather(offs: np.ndarray, counts: np.ndarray,
+                  order: np.ndarray) -> np.ndarray:
+    """Entry-gather permutation for reordering variable-length entry runs:
+    concatenation of ranges [offs[i], offs[i]+counts[i]) for i in order."""
+    reps = counts[order]
+    total = int(reps.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    starts = offs[order]
+    out_offs = np.zeros(len(order) + 1, dtype=np.int64)
+    np.cumsum(reps, out=out_offs[1:])
+    idx = np.arange(total, dtype=np.int64)
+    run = np.searchsorted(out_offs[1:], idx, side="right")
+    return starts[run] + (idx - out_offs[run])

@@ -264,47 +264,16 @@ def accumulate_ghosts(P_all: jnp.ndarray, prefix_all: jnp.ndarray,
     return jax.vmap(fn, in_axes=(0, 0, None))(P_all, prefix_all, log_threshold)
 
 
-@functools.partial(jax.jit, static_argnames=("block_w",))
+@functools.partial(jax.jit, static_argnames=("block_w", "with_count"))
 def combine_max_jnp(L: jnp.ndarray, R: jnp.ndarray, log_threshold,
-                    *, block_w: int = 16) -> jnp.ndarray:
+                    *, block_w: int = 16, with_count: bool = False):
     """XLA fallback of the fused Pallas combine (same contract as
     ``pallas_kernels.combine_max``): A[g] = max_w mask(L[g,w] ⊕ R[g,w]).
 
     L: [G, W, nl], R: [G, W, nr] → [G, nl, nr]. Used on CPU and for key-range
     batched builds on any backend (a key batch is a slice of L's last axis).
-    """
-    G, W, nl = L.shape
-    nr = R.shape[2]
-    bw = min(block_w, W)
-    num_blocks = -(-W // bw)
-    eps = jnp.asarray(log_threshold, dtype=jnp.float32)
-
-    def per_ghost(Lg, Rg):
-        def body(i, A):
-            w0 = jnp.minimum(i * bw, W - bw)
-            Lb = jax.lax.dynamic_slice(Lg, (w0, 0), (bw, nl))
-            Rb = jax.lax.dynamic_slice(Rg, (w0, 0), (bw, nr))
-            T = Lb[:, :, None] + Rb[:, None, :]
-            T = jnp.where(T > eps, T, NEG_INF)
-            return jnp.maximum(A, T.max(axis=0))
-
-        A0 = (jnp.full((nl, nr), NEG_INF, dtype=jnp.float32)
-              + Lg[:0, 0].sum().astype(jnp.float32))
-        return jax.lax.fori_loop(0, num_blocks, body, A0)
-
-    return jax.vmap(per_ghost)(L, R)
-
-
-@functools.partial(jax.jit, static_argnames=("block_w",))
-def combine_max_with_positions(L: jnp.ndarray, R: jnp.ndarray, log_threshold,
-                               *, block_w: int = 16):
-    """Like :func:`combine_max_jnp` but also tracks the window start position
-    of each candidate's best score (the aa-pos variant: the reference stores
-    ``window.get_position()``, ``db_builder.cpp:655-659``).
-
-    Tie-breaking matches ``put`` (``branch_group.cpp:73-86``): strictly
-    greater replaces, so the earliest window wins ties (windows ascending).
-    Returns (A[G, nl, nr], pos[G, nl, nr] int32).
+    with_count additionally returns per-ghost explored-tuple counts (the
+    reference's per-window ``num_tuples``, ``db_builder.cpp:576-626``).
     """
     G, W, nl = L.shape
     nr = R.shape[2]
@@ -314,24 +283,75 @@ def combine_max_with_positions(L: jnp.ndarray, R: jnp.ndarray, log_threshold,
 
     def per_ghost(Lg, Rg):
         def body(i, carry):
-            A, pos = carry
+            A, cnt = carry
             w0 = jnp.minimum(i * bw, W - bw)
             Lb = jax.lax.dynamic_slice(Lg, (w0, 0), (bw, nl))
             Rb = jax.lax.dynamic_slice(Rg, (w0, 0), (bw, nr))
             T = Lb[:, :, None] + Rb[:, None, :]
-            T = jnp.where(T > eps, T, NEG_INF)
+            alive = T > eps
+            T = jnp.where(alive, T, NEG_INF)
+            if with_count:
+                # the clamped final block revisits earlier windows; count
+                # each window once (rows with global index >= i*bw are new)
+                fresh = (w0 + jnp.arange(bw)) >= i * bw
+                cnt = cnt + jnp.where(fresh[:, None, None], alive, False
+                                      ).sum(dtype=jnp.int32)
+            return jnp.maximum(A, T.max(axis=0)), cnt
+
+        zero = Lg[:0, 0].sum()          # ties inits to the input's
+        A0 = jnp.full((nl, nr), NEG_INF, dtype=jnp.float32) + zero
+        c0 = zero.astype(jnp.int32)     # shard_map varying axes
+        A, cnt = jax.lax.fori_loop(0, num_blocks, body, (A0, c0))
+        return (A, cnt) if with_count else A
+
+    return jax.vmap(per_ghost)(L, R)
+
+
+@functools.partial(jax.jit, static_argnames=("block_w", "with_count"))
+def combine_max_with_positions(L: jnp.ndarray, R: jnp.ndarray, log_threshold,
+                               *, block_w: int = 16,
+                               with_count: bool = False):
+    """Like :func:`combine_max_jnp` but also tracks the window start position
+    of each candidate's best score (the aa-pos variant: the reference stores
+    ``window.get_position()``, ``db_builder.cpp:655-659``).
+
+    Tie-breaking matches ``put`` (``branch_group.cpp:73-86``): strictly
+    greater replaces, so the earliest window wins ties (windows ascending).
+    Returns (A[G, nl, nr], pos[G, nl, nr] int32[, counts[G] int32]).
+    """
+    G, W, nl = L.shape
+    nr = R.shape[2]
+    bw = min(block_w, W)
+    num_blocks = -(-W // bw)
+    eps = jnp.asarray(log_threshold, dtype=jnp.float32)
+
+    def per_ghost(Lg, Rg):
+        def body(i, carry):
+            A, pos, cnt = carry
+            w0 = jnp.minimum(i * bw, W - bw)
+            Lb = jax.lax.dynamic_slice(Lg, (w0, 0), (bw, nl))
+            Rb = jax.lax.dynamic_slice(Rg, (w0, 0), (bw, nr))
+            T = Lb[:, :, None] + Rb[:, None, :]
+            alive = T > eps
+            T = jnp.where(alive, T, NEG_INF)
+            if with_count:
+                fresh = (w0 + jnp.arange(bw)) >= i * bw
+                cnt = cnt + jnp.where(fresh[:, None, None], alive, False
+                                      ).sum(dtype=jnp.int32)
             # overlap windows (clamped tail) rescore identically; argmax picks
             # the first occurrence, preserving earliest-window tie-breaking
             Tmax = T.max(axis=0)
             Targ = (w0 + T.argmax(axis=0)).astype(jnp.int32)
             better = Tmax > A
             return (jnp.where(better, Tmax, A),
-                    jnp.where(better, Targ, pos))
+                    jnp.where(better, Targ, pos), cnt)
 
         zero = Lg[:0, 0].sum().astype(jnp.float32)
         A0 = jnp.full((nl, nr), NEG_INF, dtype=jnp.float32) + zero
         p0 = jnp.zeros((nl, nr), dtype=jnp.int32) + zero.astype(jnp.int32)
-        return jax.lax.fori_loop(0, num_blocks, body, (A0, p0))
+        A, pos, cnt = jax.lax.fori_loop(
+            0, num_blocks, body, (A0, p0, zero.astype(jnp.int32)))
+        return (A, pos, cnt) if with_count else (A, pos)
 
     return jax.vmap(per_ghost)(L, R)
 

@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .dense import NEG_INF, masked_halves, group_max
 
-__all__ = ["combine_max", "accumulate_ghosts_fused", "staircase_emit",
+__all__ = ["combine_max", "accumulate_ghosts_fused", "staircase_select",
            "INTERPRET"]
 
 #: Interpreter mode for CPU testing (set IPK_TPU_INTERPRET=1; tests do).
@@ -239,147 +239,246 @@ def accumulate_ghosts_fused(P_all: jnp.ndarray, prefix_all: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
-# staircase combine+emit (the sparse large-k path's hot kernel)
+# staircase combine+select (the sparse large-k path's hot kernel)
 # ---------------------------------------------------------------------------
+#
+# The sparse path (core/sparse.py) needs a capacity-bounded threshold combine
+# of two survivor lists per window: emit all pairs with fl(sL[i]+sR[j]) > eps
+# compacted into `cap` slots. The TPU formulation is count → offsets →
+# membership extraction, all in 128×128 tile arithmetic (no sorts, no
+# gathers, no dynamic lane indexing — none of those lower well under Mosaic):
+#
+#   1. per-row survivor counts: cnt[i] = Σ_j (sL[i]+sR[j] > eps). Because sR
+#      is sorted score-descending, row i's survivors are exactly its first
+#      cnt[i] columns (f32 addition is monotone) — the staircase.
+#   2. exclusive offsets offx = cumsum(cnt), via two triangular matmuls on
+#      the MXU (f32 exact: totals < 2^24).
+#   3. slot t ∈ [0, cap): its row i is the unique one with
+#      offx[i] <= t < offx[i]+cnt[i] (membership mask, one live term → the
+#      masked sum is an exact select); its column is j = t − offx[i],
+#      selected with a second one-hot mask against a lane iota.
+#
+# This is the vectorized equivalent of DCLA's sort-the-smaller-side +
+# early-break pairwise loop (pk_compute.cpp:61-110): work is
+# O(CL·CR + cap·(CL+CR)) per window instead of O(σ^k).
 
-def _emit_kernel(eps_ref, sL_ref, cL_ref, sR_ref, cR_ref,
-                 os_ref, ol_ref, or_ref, *, w_blk: int, CL: int, CRp: int,
-                 cap: int, T_pad: int):
-    """Per window: walk left-list rows (sorted desc) until the first dead
-    row, storing each live row's full [CRp] combine at its running offset.
+def _cumsum_sublanes_mxu(x: jnp.ndarray, lower_incl: jnp.ndarray
+                         ) -> jnp.ndarray:
+    """Inclusive int32 cumsum along dim 0 of a [128, n] tile, exactly, on
+    the MXU. TPU matmuls multiply in bf16 (8-bit mantissa), so a single
+    triangular matmul truncates counts above 256; splitting the counts into
+    base-256 digits keeps every product exact (digits < 2^8, the 0/1
+    triangular factor exact, f32 accumulation exact below 2^24)."""
+    xf = x.astype(jnp.float32)
+    hi = jnp.floor(xf * (1.0 / 256.0))
+    lo = xf - hi * 256.0
+    cum = (jnp.dot(lower_incl, hi, preferred_element_type=jnp.float32)
+           * 256.0
+           + jnp.dot(lower_incl, lo, preferred_element_type=jnp.float32))
+    return cum.astype(jnp.int32)
 
-    Correctness of the contiguous emission rests on two properties of
-    sorted-descending lists (cf. DCLA's sorted early-break,
-    ``pk_compute.cpp:61-110``):
-    * survivors of row i form a lane PREFIX of sR (sR sorted desc), so the
-      row's dead tail starts exactly at off+cnt — where the NEXT row's store
-      begins, overwriting it (ascending-offset overwrite);
-    * per-row survivor counts are non-increasing (sL sorted desc), so the
-      first row with cnt == 0 ends the window (early exit).
-    The last stored row's dead tail is patched with -inf after the loop, so
-    finite slots == survivors, in row-major (i asc, j asc) order — the same
-    emission order as the XLA fallback. A window whose emission would pass
-    ``cap`` stops with off > cap, which the caller detects as overflow via
-    the finite count.
-    """
+
+def _select_kernel(eps_ref, slT_ref, clT_ref, sr_ref, srT_ref, crT_ref,
+                   os_ref, ol_ref, or_ref, tot_ref, *,
+                   w_blk: int, nIC: int, nJC: int, nTC: int):
+    g = pl.program_id(0)
+    wb = pl.program_id(1)
+
+    r128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    c128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    lower_incl = (r128 >= c128).astype(jnp.float32)
+    if nIC > 1:
+        subn = jax.lax.broadcasted_iota(jnp.int32, (nIC, 1), 0)
+    t_base = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    j_col = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+
+    # zero-initialize whole output blocks once (extraction skips dead tiles)
+    os_ref[0] = jnp.full((w_blk, nTC, 128), NEG_INF, jnp.float32)
+    ol_ref[0] = jnp.zeros((w_blk, nTC, 128), jnp.int32)
+    or_ref[0] = jnp.zeros((w_blk, nTC, 128), jnp.int32)
+
     def per_window(w, _):
-        eps_w = eps_ref[0, w]
-        os_ref[0, pl.ds(w, 1), :] = jnp.full((1, T_pad), NEG_INF,
-                                             jnp.float32)
-        sR = sR_ref[0, pl.ds(w, 1), :]          # [1, CRp]
-        cR = cR_ref[0, pl.ds(w, 1), :]
+        eps = eps_ref[g, wb * w_blk + w]
+        slT = slT_ref[0, pl.ds(w, 1)][0]                # [128, nIC]
+        clT = clT_ref[0, pl.ds(w, 1)][0]
+        sr2 = sr_ref[0, pl.ds(w, 1)][0]                 # [nJC, 128]
+        srT = srT_ref[0, pl.ds(w, 1)][0]                # [128, nJC]
+        crT = crT_ref[0, pl.ds(w, 1)][0]
 
-        def cond(st):
-            _, off, alive = st
-            return alive & (off <= cap)
+        # 1. staircase profile: per-row survivor counts (int32, exact).
+        # Accumulate alive-masks elementwise in 2D and reduce once per
+        # i-chunk — a lane reduction inside the inner loop would serialize
+        # the VPU (measured ~5x slower).
+        cnt_cols = []
+        for a in range(nIC):
+            li = slT[:, a:a + 1]                        # [128, 1]
+            acc2 = jnp.zeros((128, 128), jnp.int32)
+            for b in range(nJC):
+                T = li + sr2[b:b + 1, :]                # [128, 128] outer sum
+                acc2 = acc2 + (T > eps).astype(jnp.int32)
+            cnt_cols.append(jnp.sum(acc2, axis=1, keepdims=True))
+        cnt_mat = (jnp.concatenate(cnt_cols, axis=1) if nIC > 1
+                   else cnt_cols[0])                    # [128, nIC]
 
-        def body(st):
-            i, off, _ = st
-            sl = sL_ref[0, w, i]
-            cl = cL_ref[0, w, i]
-            srow = sl + sR
-            cnt = jnp.sum((srow > eps_w).astype(jnp.int32))
+        # 2. flat exclusive offsets (i = a·128 + r, r fastest), exact int32
+        cum = _cumsum_sublanes_mxu(cnt_mat, lower_incl)
+        if nIC > 1:
+            ct_col = jnp.transpose(cum[127:128, :])     # [nIC, 1]
+            z = ct_col
+            for s in (1, 2, 4, 8):
+                if s >= nIC:
+                    break
+                z = z + jnp.where(subn >= s, pltpu.roll(z, s, 0), 0)
+            coloff = jnp.transpose(z - ct_col)          # [1, nIC] exclusive
+            offx_incl = cum + coloff
+        else:
+            offx_incl = cum
+        offx_excl = offx_incl - cnt_mat
+        total = offx_incl[127:128, nIC - 1:nIC]         # [1, 1]
+        tot_ref[0, pl.ds(w, 1), :] = jnp.broadcast_to(total, (1, 128))
+        total_s = jnp.sum(total)                        # scalar for pl.when
 
-            @pl.when(cnt > 0)
-            def _():
-                os_ref[0, pl.ds(w, 1), pl.ds(off, CRp)] = srow
-                ol_ref[0, pl.ds(w, 1), pl.ds(off, CRp)] = jnp.full(
-                    (1, CRp), cl, jnp.int32)
-                or_ref[0, pl.ds(w, 1), pl.ds(off, CRp)] = cR
-            alive = (cnt > 0) & (i + 1 < CL)
-            return (i + 1, off + cnt, alive)
-
-        _, off, _ = jax.lax.while_loop(
-            cond, body,
-            (jnp.int32(0), jnp.int32(0), jnp.bool_(CL > 0)))
-        os_ref[0, pl.ds(w, 1), pl.ds(off, CRp)] = jnp.full(
-            (1, CRp), NEG_INF, jnp.float32)
+        # 3. extract one 128-slot lane tile at a time, skipping tiles past
+        # the window's survivor count (the kernel's analog of DCLA's early
+        # break, pk_compute.cpp:90-94); skipped tiles keep the block-level
+        # (-inf, 0) prefill
+        for tc in range(nTC):
+            @pl.when(total_s > 128 * tc)
+            def _(tc=tc):
+                t_row = t_base + np.int32(128 * tc)     # [1, 128]
+                # one live (row, slot) term per slot → 2D accumulation is
+                # exact; reduce over sublanes once per quantity. Register
+                # accumulators beat both per-tile reductions and pl.when-
+                # skipped VMEM scratch accumulation (measured).
+                acc_sl = jnp.zeros((128, 128), jnp.float32)
+                acc_cl = jnp.zeros((128, 128), jnp.int32)
+                acc_prev = jnp.zeros((128, 128), jnp.int32)
+                for a in range(nIC):
+                    lo = offx_excl[:, a:a + 1]
+                    hi = offx_incl[:, a:a + 1]
+                    M = (lo <= t_row) & (t_row < hi)    # [128, 128]
+                    acc_sl = acc_sl + jnp.where(M, slT[:, a:a + 1], 0.0)
+                    acc_cl = acc_cl + jnp.where(M, clT[:, a:a + 1], 0)
+                    acc_prev = acc_prev + jnp.where(M, lo, 0)
+                sel_sl = jnp.sum(acc_sl, axis=0, keepdims=True)
+                sel_cl = jnp.sum(acc_cl, axis=0, keepdims=True)
+                sel_prev = jnp.sum(acc_prev, axis=0, keepdims=True)
+                jj = t_row - sel_prev                   # [1, 128] int32
+                acc_sr = jnp.zeros((128, 128), jnp.float32)
+                acc_cr = jnp.zeros((128, 128), jnp.int32)
+                for b in range(nJC):
+                    N = (j_col + np.int32(128 * b)) == jj  # one-hot
+                    acc_sr = acc_sr + jnp.where(N, srT[:, b:b + 1], 0.0)
+                    acc_cr = acc_cr + jnp.where(N, crT[:, b:b + 1], 0)
+                sel_sr = jnp.sum(acc_sr, axis=0, keepdims=True)
+                sel_cr = jnp.sum(acc_cr, axis=0, keepdims=True)
+                valid = t_row < jnp.broadcast_to(total, (1, 128))
+                s_out = jnp.where(valid, sel_sl + sel_sr, NEG_INF)
+                os_ref[0, pl.ds(w, 1), tc, :] = s_out
+                ol_ref[0, pl.ds(w, 1), tc, :] = jnp.where(valid, sel_cl, 0)
+                or_ref[0, pl.ds(w, 1), tc, :] = jnp.where(valid, sel_cr, 0)
         return 0
 
     jax.lax.fori_loop(0, w_blk, per_window, 0)
 
 
+def _pad_lists(s, c, n_pad, axis):
+    """Pad (score, code) lists with (-inf, 0) along `axis`."""
+    if n_pad == 0:
+        return s, c
+    shp = list(s.shape)
+    shp[axis] = n_pad
+    s = jnp.concatenate([s, jnp.full(shp, NEG_INF, jnp.float32)], axis=axis)
+    c = jnp.concatenate([c, jnp.zeros(shp, jnp.int32)], axis=axis)
+    return s, c
+
+
 @functools.partial(jax.jit, static_argnames=("cap", "w_blk", "interpret"))
-def staircase_emit(sL: jnp.ndarray, cL: jnp.ndarray, sR: jnp.ndarray,
-                   cR: jnp.ndarray, eps: jnp.ndarray, *, cap: int,
-                   w_blk: int | None = None,
-                   interpret: bool | None = None):
-    """Capacity-bounded threshold combine of two sorted survivor lists.
+def staircase_select(sL: jnp.ndarray, cL: jnp.ndarray, sR: jnp.ndarray,
+                     cR: jnp.ndarray, eps: jnp.ndarray, *, cap: int,
+                     w_blk: int | None = None,
+                     interpret: bool | None = None):
+    """Capacity-bounded threshold combine of two survivor lists.
 
-    sL/cL: [G, W, CL] f32 scores / uint32 codes sorted score-descending;
-    sR/cR: [G, W, CR] likewise; eps: [G, W] per-window thresholds.
-    Emits all pairs with ``fl(sL[i]+sR[j]) > eps`` (strict, exact f32) as
-    (code_l [G, W, cap] uint32, code_r, scores [G, W, cap] f32,
-    counts [G, W] int32). Slots beyond a window's count have score -inf
-    (codes there are garbage); counts > cap flags overflow — such windows'
-    lists are incomplete and the caller must retry with a larger cap.
-
-    Work is O(live_rows · CR) per window — proportional to survivors, not
-    to the CL·CR product (the TPU analog of DCLA's early-break pruning).
+    sL/cL: [G, W, CL] f32 scores / uint32 codes (any order); sR/cR:
+    [G, W, CR] sorted score-descending (required: the staircase prefix
+    property); eps: [G, W] per-window thresholds. Emits all pairs with
+    ``fl(sL[i]+sR[j]) > eps`` (strict, exact f32) compacted row-major
+    (i asc, j asc) as (code_l [G, W, cap] uint32, code_r,
+    scores [G, W, cap] f32, totals [G, W] int32). Slots at or beyond a
+    window's total have score -inf (codes zero); totals > cap means the
+    window overflowed (its list is truncated) and the caller must retry
+    with a larger cap.
     """
     if interpret is None:
         interpret = INTERPRET
     G, W, CL = sL.shape
     CR = sR.shape[2]
+    assert cap % 128 == 0, cap
+    nIC = -(-CL // 128)
+    nJC = -(-CR // 128)
+    nTC = cap // 128
     if w_blk is None:
-        w_blk = 8 if CL <= 1024 else (4 if CL <= 2048 else 2)
+        w_blk = 8
     w_blk = max(1, min(w_blk, W))
-    CRp = -(-CR // 128) * 128
     Wp = -(-W // w_blk) * w_blk
-    T_pad = -(-(cap + 2 * CRp) // 128) * 128
 
-    sLp = sL
     cLi = jax.lax.bitcast_convert_type(cL, jnp.int32)
-    sRp = sR
     cRi = jax.lax.bitcast_convert_type(cR, jnp.int32)
+    sLp, cLi = _pad_lists(sL, cLi, nIC * 128 - CL, axis=2)
+    sRp, cRi = _pad_lists(sR, cRi, nJC * 128 - CR, axis=2)
     epsp = eps
-    if CRp != CR:
-        sRp = jnp.concatenate(
-            [sRp, jnp.full((G, W, CRp - CR), NEG_INF, jnp.float32)], axis=2)
-        cRi = jnp.concatenate(
-            [cRi, jnp.zeros((G, W, CRp - CR), jnp.int32)], axis=2)
     if Wp != W:
-        pw = Wp - W
-        sLp = jnp.concatenate(
-            [sLp, jnp.zeros((G, pw, CL), jnp.float32)], axis=1)
-        cLi = jnp.concatenate(
-            [cLi, jnp.zeros((G, pw, CL), jnp.int32)], axis=1)
-        sRp = jnp.concatenate(
-            [sRp, jnp.full((G, pw, CRp), NEG_INF, jnp.float32)], axis=1)
-        cRi = jnp.concatenate(
-            [cRi, jnp.zeros((G, pw, CRp), jnp.int32)], axis=1)
+        sLp, cLi = _pad_lists(sLp, cLi, Wp - W, axis=1)
+        sRp, cRi = _pad_lists(sRp, cRi, Wp - W, axis=1)
         # +inf threshold: padded windows emit nothing
         epsp = jnp.concatenate(
-            [epsp, jnp.full((G, pw), np.inf, jnp.float32)], axis=1)
+            [epsp, jnp.full((G, Wp - W), np.inf, jnp.float32)], axis=1)
 
-    kernel = functools.partial(_emit_kernel, w_blk=w_blk, CL=CL, CRp=CRp,
-                               cap=cap, T_pad=T_pad)
-    out_shape = [jax.ShapeDtypeStruct((G, Wp, T_pad), jnp.float32),
-                 jax.ShapeDtypeStruct((G, Wp, T_pad), jnp.int32),
-                 jax.ShapeDtypeStruct((G, Wp, T_pad), jnp.int32)]
-    out_specs = [pl.BlockSpec((1, w_blk, T_pad), lambda g, wb: (g, wb, 0),
+    # chunk-row 4D layout: [G, W, n·128] → [G, W, n, 128] so in-kernel tiles
+    # are static slices (last two dims untiled by the grid). The kernel
+    # consumes L (and the extraction view of R) column-major, so those are
+    # transposed HERE by XLA — in-kernel transposes cost ~1/3 of the kernel.
+    slT = jnp.swapaxes(sLp.reshape(G, Wp, nIC, 128), 2, 3)   # [G,W,128,nIC]
+    clT = jnp.swapaxes(cLi.reshape(G, Wp, nIC, 128), 2, 3)
+    sR4 = sRp.reshape(G, Wp, nJC, 128)
+    srT = jnp.swapaxes(sR4, 2, 3)                            # [G,W,128,nJC]
+    crT = jnp.swapaxes(cRi.reshape(G, Wp, nJC, 128), 2, 3)
+
+    kernel = functools.partial(_select_kernel, w_blk=w_blk, nIC=nIC,
+                               nJC=nJC, nTC=nTC)
+    out_shape = [jax.ShapeDtypeStruct((G, Wp, nTC, 128), jnp.float32),
+                 jax.ShapeDtypeStruct((G, Wp, nTC, 128), jnp.int32),
+                 jax.ShapeDtypeStruct((G, Wp, nTC, 128), jnp.int32),
+                 jax.ShapeDtypeStruct((G, Wp, 128), jnp.int32)]
+    out_specs = [pl.BlockSpec((1, w_blk, nTC, 128),
+                              lambda g, wb: (g, wb, 0, 0),
                               memory_space=pltpu.VMEM) for _ in range(3)]
-    scores, ol, orr = pl.pallas_call(
+    out_specs.append(pl.BlockSpec((1, w_blk, 128), lambda g, wb: (g, wb, 0),
+                                  memory_space=pltpu.VMEM))
+
+    def spec_t(n):
+        return pl.BlockSpec((1, w_blk, 128, n), lambda g, wb: (g, wb, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),          # eps, whole array
+        spec_t(nIC), spec_t(nIC),
+        pl.BlockSpec((1, w_blk, nJC, 128), lambda g, wb: (g, wb, 0, 0),
+                     memory_space=pltpu.VMEM),
+        spec_t(nJC), spec_t(nJC),
+    ]
+    scores, ol, orr, tot = pl.pallas_call(
         kernel,
         grid=(G, Wp // w_blk),
-        in_specs=[
-            pl.BlockSpec((1, w_blk), lambda g, wb: (g, wb),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, w_blk, CL), lambda g, wb: (g, wb, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, w_blk, CL), lambda g, wb: (g, wb, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, w_blk, CRp), lambda g, wb: (g, wb, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w_blk, CRp), lambda g, wb: (g, wb, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(epsp, sLp, cLi, sRp, cRi)
-    scores = scores[:, :W]
-    counts = jnp.isfinite(scores).sum(axis=2, dtype=jnp.int32)
-    clu = jax.lax.bitcast_convert_type(ol[:, :W, :cap], jnp.uint32)
-    cru = jax.lax.bitcast_convert_type(orr[:, :W, :cap], jnp.uint32)
-    return clu, cru, scores[:, :, :cap], counts
+    )(epsp, slT, clT, sR4, srT, crT)
+    scores = scores.reshape(G, Wp, nTC * 128)[:, :W, :cap]
+    clu = jax.lax.bitcast_convert_type(
+        ol.reshape(G, Wp, nTC * 128)[:, :W, :cap], jnp.uint32)
+    cru = jax.lax.bitcast_convert_type(
+        orr.reshape(G, Wp, nTC * 128)[:, :W, :cap], jnp.uint32)
+    return clu, cru, scores, tot[:, :W, 0]

@@ -25,14 +25,14 @@ Per span (j, h), survivors are kept as (code, score) lists sorted
 score-descending. Combining two sorted lists under a threshold is a
 **staircase**: the surviving j for each i form a prefix in j (f32 addition is
 monotone), so the survivor region is fully described by per-row counts. On
-TPU the combine+emit runs in a fused Pallas kernel
-(``pallas_kernels.staircase_emit``): both lists VMEM/SMEM-resident, rows
-walked until the first dead row (sorted ⇒ survivors form a row prefix), each
-live row's survivor prefix stored at its running offset — the vectorized
-equivalent of DCLA's sort-the-smaller-side + early-break pairwise loop
-(``pk_compute.cpp:61-110``). Elsewhere (CPU tests) an XLA fallback computes
-exact counts via a fused compare-reduce and extracts survivors with
-membership masks (no gather/scatter/sort HLOs in the hot path).
+TPU the combine+select runs in a fused Pallas kernel
+(``pallas_kernels.staircase_select``): per-row counts by VMEM-resident
+compare-reduce, offsets by triangular matmuls on the MXU, extraction by
+one-live-term membership masks — the vectorized equivalent of DCLA's
+sort-the-smaller-side + early-break pairwise loop (``pk_compute.cpp:61-110``).
+Elsewhere (CPU tests) an XLA fallback computes the same counts and
+membership extraction with fused elementwise HLOs (no gather/scatter/sort
+in the hot path).
 
 Scores follow the identical f32 summation tree, so values are bit-equal to
 the dense path. Codes stay ``uint32`` on device (every half-window needs ≤
@@ -64,7 +64,8 @@ COMPLETE_LIMIT = 512
 
 #: Pallas kernel limits (list sizes beyond this use the XLA fallback)
 _KERNEL_MAX_CL = 4096
-_KERNEL_MAX_CR = 2048
+_KERNEL_MAX_CR = 4096
+_KERNEL_MAX_CAP = 8192
 
 
 # ---------------------------------------------------------------------------
@@ -242,7 +243,7 @@ def _staircase_xla(cL, sL, cR, sR, eps, *, cap: int, shift):
     masked one-live-term sums (exact in f32 — exactly one live term per
     slot). Emission order is row-major (i asc, j asc), matching the kernel.
 
-    cL/sL: [G, W, CL], cR/sR: [G, W, CR] (sorted desc). Returns
+    cL/sL: [G, W, CL] (any order), cR/sR: [G, W, CR] (sorted desc). Returns
     (codes, scores [G, W, C], counts [G, W]) with C = min(cap, CL·CR); with
     ``shift=None`` codes is the (cL_sel, cR_sel) pair.
     """
@@ -272,10 +273,10 @@ def _staircase_xla(cL, sL, cR, sR, eps, *, cap: int, shift):
         t1 = min(out_cap, t0 + tc)
         ks = jnp.arange(t0, t1, dtype=jnp.int32)
         t = ks[None, None, :, None]                    # [1, 1, T, 1]
-        # triangular bound: cnt is non-increasing (both lists sorted desc),
-        # so offx[i] >= i wherever cnt[i] >= 1; slot t's left row satisfies
-        # offx[i] <= t, hence i <= t < t1 — and jj = t - offx[i] <= t too.
-        il = min(CL, t1)
+        # jj = t - offx[i] <= t < t1 for any L order (offx >= 0), so the
+        # right-side membership can stop at t1 lanes; L is not assumed
+        # sorted (only R's sortedness drives the staircase prefix)
+        il = CL
         jl = min(CR, t1)
         # membership: slot t lies in left-row i iff offx[i] <= t < offx[i+1]
         A = offx[:, :, None, :il + 1] <= t             # [G, W, T, il+1]
@@ -324,11 +325,15 @@ def _combine(lists, span, eps_span, *, sigma: int, bits: int,
         codes, scores = _complete_product(cl, sl, cr, sr, eps_span, shift)
         return codes, scores, child_ovf
 
-    if use_kernel and CL <= _KERNEL_MAX_CL and CR <= _KERNEL_MAX_CR:
-        from .pallas_kernels import staircase_emit
-        clg, crg, scores, counts = staircase_emit(
+    # the staircase prefix property needs (only) the RIGHT list sorted
+    # score-descending; sorting lazily here skips it for complete products
+    cr, sr = _sort_desc(cr, sr)
+    if (use_kernel and CL <= _KERNEL_MAX_CL and CR <= _KERNEL_MAX_CR
+            and out_cap % 128 == 0 and out_cap <= _KERNEL_MAX_CAP):
+        from .pallas_kernels import staircase_select
+        clg, crg, scores, totals = staircase_select(
             sl, cl, sr, cr, eps_span, cap=out_cap)
-        ovf = (counts > out_cap).any(axis=1)
+        ovf = (totals > out_cap).any(axis=1)
         codes = ((clg, crg) if top
                  else (clg << np.uint32(shift)) | crg)
         return codes, scores, child_ovf | ovf
@@ -367,6 +372,9 @@ def _pairs_device(P_all, prefix_all, log_threshold, *, k: int, sigma: int,
     lists: Dict[Tuple[int, int], tuple] = {}
     overflow: Dict[Tuple[int, int], jnp.ndarray] = {}
     no_ovf = jnp.zeros((G,), dtype=bool)
+    # lists stay UNSORTED here; _combine sorts only the right child of a
+    # staircase lazily (the only place sortedness matters — sorts are the
+    # one O(C log C) step, and halving them matters on TPU)
     for (j, h) in split_tree(k):
         span = (j, h)
         if h == 1:
@@ -375,7 +383,6 @@ def _pairs_device(P_all, prefix_all, log_threshold, *, k: int, sigma: int,
             codes = jnp.broadcast_to(
                 jax.lax.broadcasted_iota(jnp.uint32, (1, 1, sigma), 2),
                 (G, W, sigma))
-            codes, scores = _sort_desc(codes, scores)
             lists[span] = (codes, scores, no_ovf)
             continue
         top = span == (0, k)
@@ -386,9 +393,6 @@ def _pairs_device(P_all, prefix_all, log_threshold, *, k: int, sigma: int,
             overflow[span] = ovf
             cl_sel, cr_sel = codes
             return cl_sel, cr_sel, scores, {**overflow, span: ovf}
-        # keep every level's lists score-descending: the staircase prefix
-        # property at the parent level requires sorted children
-        codes, scores = _sort_desc(codes, scores)
         lists[span] = (codes, scores, no_ovf)
         overflow[span] = ovf
     raise AssertionError("unreachable")  # pragma: no cover
@@ -399,37 +403,72 @@ def _use_kernel_default() -> bool:
     forced = os.environ.get("IPK_TPU_SPARSE_KERNEL")
     if forced is not None:
         return forced == "1"
-    # TODO(r2): enable once the staircase kernel compiles under Mosaic
-    # (the r1 draft relied on SMEM array blocks + unaligned dynamic lane
-    # stores, both rejected by the TPU lowering).
-    return False
+    return jax.devices()[0].platform == "tpu"
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_pairs_fn(mesh, k: int, sigma: int, bits: int, caps_t: tuple,
+                      use_kernel: bool):
+    """shard_map of the whole-batch enumeration over the mesh's branch axis
+    (cached per (mesh, caps) so cap adaptation reuses compilations).
+    Enumeration has no cross-ghost arithmetic → bit-identical per shard."""
+    from jax.sharding import PartitionSpec as PS
+
+    def local(P_loc, prefix_loc, log_threshold):
+        return _pairs_device.__wrapped__(
+            P_loc, prefix_loc, log_threshold, k=k, sigma=sigma, bits=bits,
+            caps_t=caps_t, use_kernel=use_kernel)
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(PS("branch"), PS("branch"), PS()),
+        out_specs=PS("branch")))
 
 
 def enumerate_pairs_device(P_all, prefix_all, log_threshold, *, k: int,
                            sigma: int, bits: int, cap: int,
                            caps: Optional[Dict] = None,
-                           use_kernel: Optional[bool] = None):
+                           use_kernel: Optional[bool] = None,
+                           mesh=None):
     """Ghost-batched device enumeration with adaptive per-span capacities.
 
     Runs :func:`_pairs_device`, doubling any span whose capacity overflows
     (recompiles are cached per caps tuple) until the ``cap`` ceiling.
     Returns (cl_sel, cr_sel [G, W, C] uint32, scores [G, W, C] f32,
     overflow [G] bool) — overflow is only set when the ceiling is reached.
+    With ``mesh``, the batch is sharded over the "branch" axis (ghost rows
+    padded to the mesh with inert matrices and trimmed from the outputs).
     """
     if use_kernel is None:
         use_kernel = _use_kernel_default()
     if caps is None:
         caps = default_caps(k, sigma, cap)
     caps = normalize_caps(caps, k, sigma, cap)
+    G0 = P_all.shape[0]
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as PS
+        from ..parallel.build_sharded import pad_ghosts
+        P_all, prefix_all, _ = pad_ghosts(
+            np.asarray(P_all, np.float32),
+            np.asarray(prefix_all, np.float32), mesh.shape["branch"])
+        sh = NamedSharding(mesh, PS("branch"))
+        P_all = jax.device_put(P_all, sh)
+        prefix_all = jax.device_put(prefix_all, sh)
     while True:
-        cl, cr, scores, ovf = _pairs_device(
-            P_all, prefix_all, jnp.float32(log_threshold), k=k, sigma=sigma,
-            bits=bits, caps_t=_caps_key(caps), use_kernel=use_kernel)
+        if mesh is not None:
+            cl, cr, scores, ovf = _sharded_pairs_fn(
+                mesh, k, sigma, bits, _caps_key(caps), use_kernel)(
+                    P_all, prefix_all, jnp.float32(log_threshold))
+        else:
+            cl, cr, scores, ovf = _pairs_device(
+                P_all, prefix_all, jnp.float32(log_threshold), k=k,
+                sigma=sigma, bits=bits, caps_t=_caps_key(caps),
+                use_kernel=use_kernel)
+        cl, cr, scores = cl[:G0], cr[:G0], scores[:G0]
+        ovf = {span: flags[:G0] for span, flags in ovf.items()}
         flagged = {span: flags for span, flags in ovf.items()
                    if bool(flags.any())}
         if not flagged:
-            G = P_all.shape[0]
-            return cl, cr, scores, np.zeros((G,), bool)
+            return cl, cr, scores, np.zeros((G0,), bool)
         grew = False
         new_caps = dict(caps)
         for span in flagged:
@@ -441,7 +480,7 @@ def enumerate_pairs_device(P_all, prefix_all, log_threshold, *, k: int,
                 grew = True
         if not grew:
             # ceiling reached: report which ghosts overflowed
-            combined = np.zeros((P_all.shape[0],), bool)
+            combined = np.zeros((G0,), bool)
             for flags in flagged.values():
                 combined |= np.asarray(flags)
             return cl, cr, scores, combined
@@ -459,9 +498,9 @@ def enumerate_sparse_many(P_all, prefix_all, log_threshold, *, k: int,
                           sigma: int, bits: int, cap: int = 4096,
                           caps: Optional[Dict] = None,
                           use_kernel: Optional[bool] = None,
-                          probe: bool = True,
+                          probe: bool = True, mesh=None,
                           window_block: int | None = None,
-                          combine_budget_bytes: int = 1 << 28):
+                          combine_budget_bytes: int = 4 << 30):
     """Ghost-batched sparse enumeration (host-facing).
 
     P_all: [G, S, sigma], prefix_all: [G, S+1]. Returns
@@ -482,10 +521,10 @@ def enumerate_sparse_many(P_all, prefix_all, log_threshold, *, k: int,
         caps = (probe_caps(P_all, prefix_all, log_threshold, k=k,
                            sigma=sigma, cap=cap)
                 if probe else default_caps(k, sigma, cap))
-    # working set per ghost: a few [W, cap]-ish f32/u32 tensors per level
+    # working set per ghost: kernel outputs (3 x [W, top_cap] f32/i32) plus
+    # per-span survivor lists — dominated by the top span
     top_cap = min(cap, max(list(caps.values()) + [128]))
-    per_ghost = W * top_cap * 8 * max(
-        4, 2 * int(np.ceil(np.log2(max(2, k)))))
+    per_ghost = W * top_cap * 48
     ghost_chunk = max(1, min(G, combine_budget_bytes // max(1, per_ghost)))
 
     out_c, out_s = [], []
@@ -493,9 +532,9 @@ def enumerate_sparse_many(P_all, prefix_all, log_threshold, *, k: int,
     for g0 in range(0, G, ghost_chunk):
         g1 = min(G, g0 + ghost_chunk)
         cl, cr, scores, ovf = enumerate_pairs_device(
-            jnp.asarray(P_all[g0:g1]), jnp.asarray(prefix_all[g0:g1]),
+            P_all[g0:g1], prefix_all[g0:g1],
             np.float32(log_threshold), k=k, sigma=sigma, bits=bits, cap=cap,
-            caps=caps, use_kernel=use_kernel)
+            caps=caps, use_kernel=use_kernel, mesh=mesh)
         out_c.append(_pack_host(cl, cr, k=k, bits=bits))
         out_s.append(np.asarray(scores, dtype=np.float32))
         overflow[g0:g1] = np.asarray(ovf)

@@ -72,6 +72,12 @@ def build_database(p: BuildParams) -> Optional[BuildResult]:
     traits = get_traits(p.states)
     if p.kmer_size > traits.max_kmer_length:
         raise RuntimeError(f"Maximum k-mer size allowed: {traits.max_kmer_length}")
+    if p.merge_branches and not p.keep_positions and p.verbosity > 0:
+        # deviation from the reference, which hard-rejects this combination
+        # (``main.cpp:31-37``) because branch merging only exists in its
+        # aa-pos build variant; here it works in every mode
+        print("Note: --merge-branches without --keep-positions is an "
+              "ipk_tpu extension (the reference rejects it).")
 
     # L5: alignment preprocessing
     align = aln.preprocess_alignment(p.working_dir, p.refalign,

@@ -153,6 +153,11 @@ class IpkWriter:
             self._write(np.ascontiguousarray(positions,
                                              dtype="<u4").tobytes())
 
+    def write_raw(self, data: bytes) -> None:
+        """Stream pre-encoded section bytes (the out-of-core merge spills
+        column sections to disk and funnels them through the compressor)."""
+        self._write(data)
+
     def flush_columns(self) -> None:
         if self._keys:
             self.write_columns(
@@ -237,34 +242,114 @@ def load(filename: str) -> PhyloKmerDB:
 
 
 class BatchLoader:
-    """Lazy cursor over one batch DB for the k-way on-disk merge
-    (cf. ``i2l::batch_loader``, ``db_builder.cpp:392-458``)."""
+    """Streaming cursor over one *uncompressed* batch DB for the out-of-core
+    merge (cf. ``i2l::batch_loader``, ``db_builder.cpp:392-458``).
 
-    def __init__(self, filename: str):
-        self._db = load(filename)
-        self._row = -1
+    Unlike the r1 version (which eagerly loaded the whole file), this reads
+    the header, derives the absolute offsets of the five column sections,
+    and serves rows in bounded blocks via seek+read — resident memory is one
+    block per column regardless of the batch size. The reference holds one
+    record at a time (``batch_loader::next``); blocks amortize Python/syscall
+    overhead while keeping the same O(1)-per-batch memory guarantee.
+    """
+
+    def __init__(self, filename: str, block_rows: int = 1 << 16):
+        self._f = open(filename, "rb")
+        head = self._f.read(len(_MAGIC))
+        if head != _MAGIC:
+            raise RuntimeError(
+                f"BatchLoader needs an uncompressed .ipk file: {filename}")
+        r = _StreamReader(self._f)
+        self.version = r.u32()
+        self.sequence_type = r.string()
+        n_index = r.u64()
+        self.tree_index = [(r.u64(), r.f64()) for _ in range(n_index)]
+        self.tree = r.string()
+        self.kmer_size = r.u64()
+        self.omega = r.f32()
+        self.has_positions = bool(r.u8())
+        self.num_kmers = r.u64()
+        self.num_entries = r.u64()
+        base = self._f.tell()
+        K, E = self.num_kmers, self.num_entries
+        self._col_off = {
+            "keys": (base, "<u8", K),
+            "fvs": (base + 8 * K, "<f4", K),
+            "counts": (base + 12 * K, "<u8", K),
+            "branches": (base + 20 * K, "<u4", E),
+            "scores": (base + 20 * K + 4 * E, "<f4", E),
+        }
+        if self.has_positions:
+            self._col_off["positions"] = (base + 20 * K + 8 * E, "<u4", E)
+        self._block_rows = block_rows
+        self._row = 0          # next unread k-mer row
+        self._entry = 0        # next unread entry row
 
     def get_num_kmers(self) -> int:
-        return self._db.size()
+        return self.num_kmers
 
-    def has_next(self) -> bool:
-        return self._row + 1 < self._db.size()
+    def rows_left(self) -> int:
+        return self.num_kmers - self._row
 
-    def next(self) -> None:
-        self._row += 1
+    def _read_col(self, name: str, start: int, n: int) -> np.ndarray:
+        off, dtype, total = self._col_off[name]
+        dt = np.dtype(dtype)
+        if start + n > total:
+            raise RuntimeError("Truncated .ipk batch file")
+        self._f.seek(off + start * dt.itemsize)
+        buf = self._f.read(n * dt.itemsize)
+        if len(buf) != n * dt.itemsize:
+            raise RuntimeError("Truncated .ipk batch file")
+        return np.frombuffer(buf, dtype=dt)
 
-    @property
-    def current(self) -> Tuple[int, float, list]:
-        db = self._db
-        row = self._row
-        return (int(db.keys[row]), float(db.filter_values[row]),
-                db.entries_at(row))
+    def read_block(self, max_rows: Optional[int] = None):
+        """Read the next ≤max_rows k-mers (and their entries). Returns
+        (keys, fvs, counts, branches, scores, positions) or None at EOF."""
+        n = min(max_rows or self._block_rows, self.rows_left())
+        if n <= 0:
+            return None
+        keys = self._read_col("keys", self._row, n)
+        fvs = self._read_col("fvs", self._row, n)
+        counts = self._read_col("counts", self._row, n).astype(np.int64)
+        ne = int(counts.sum())
+        branches = self._read_col("branches", self._entry, ne)
+        scores = self._read_col("scores", self._entry, ne)
+        positions = (self._read_col("positions", self._entry, ne)
+                     if self.has_positions else None)
+        self._row += n
+        self._entry += ne
+        return keys, fvs, counts, branches, scores, positions
 
-    @property
-    def current_arrays(self):
-        db = self._db
-        row = self._row
-        lo, hi = db.offsets[row], db.offsets[row + 1]
-        return (db.keys[row], db.filter_values[row], db.branches[lo:hi],
-                db.scores[lo:hi],
-                None if db.positions is None else db.positions[lo:hi])
+    def close(self) -> None:
+        self._f.close()
+
+
+class _StreamReader:
+    """Header-field reader over an open file (no whole-file buffering)."""
+
+    def __init__(self, f: BinaryIO):
+        self.f = f
+
+    def take(self, n: int) -> bytes:
+        out = self.f.read(n)
+        if len(out) != n:
+            raise RuntimeError("Truncated .ipk file")
+        return out
+
+    def u64(self) -> int:
+        return struct.unpack("<Q", self.take(8))[0]
+
+    def u32(self) -> int:
+        return struct.unpack("<I", self.take(4))[0]
+
+    def u8(self) -> int:
+        return self.take(1)[0]
+
+    def f32(self) -> float:
+        return struct.unpack("<f", self.take(4))[0]
+
+    def f64(self) -> float:
+        return struct.unpack("<d", self.take(8))[0]
+
+    def string(self) -> str:
+        return self.take(self.u64()).decode("utf-8")

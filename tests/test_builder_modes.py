@@ -149,7 +149,7 @@ def test_positions_earliest_window_tiebreak(tmp_path):
     batches = list(b._enumerate_batches(
         P, prefix, k=2, sigma=4, eps=eps, ghosts_per_group=2,
         key_batches=1, backend="jnp", block_w=4, keep_positions=True))
-    tag, lo, A, pos = batches[0]
+    tag, lo, A, pos, count = batches[0]
     assert tag == "dense"
     surv = np.isfinite(A)
     assert surv.any()
@@ -218,3 +218,54 @@ def test_sparse_random_filter_and_merge_branches(dna_project, monkeypatch):
                       merge_branches=True)
     assert_db_equal(base_r, sp_r)
     assert_db_equal(base_m, sp_m)
+
+
+# ---------------------------------------------------------------------------
+# r2: every production path shards over the mesh; results must be byte-equal
+# to the single-device build (VERDICT r1 item 2; the OpenMP loop the
+# reference never enabled, db_builder.cpp:602-605)
+# ---------------------------------------------------------------------------
+
+def _build_pair(tmp, tree_file, fasta_file, ar_dir, name, monkeypatch,
+                **overrides):
+    monkeypatch.setenv("IPK_TPU_NO_SHARD", "1")
+    single = build_with(tmp, tree_file, fasta_file, ar_dir,
+                        name + "_1dev", **overrides)
+    monkeypatch.delenv("IPK_TPU_NO_SHARD")
+    sharded = build_with(tmp, tree_file, fasta_file, ar_dir,
+                         name + "_mesh", **overrides)
+    return single, sharded
+
+
+def test_sharded_build_dense_equal(dna_project, monkeypatch):
+    tmp, tree_file, fasta_file, ar_dir = dna_project
+    a, b = _build_pair(tmp, tree_file, fasta_file, ar_dir, "shd",
+                       monkeypatch)
+    assert_db_equal(a, b)
+
+
+def test_sharded_build_batched_equal(dna_project, monkeypatch):
+    tmp, tree_file, fasta_file, ar_dir = dna_project
+    import ipk_tpu.builder as builder_mod
+    monkeypatch.setattr(builder_mod, "pick_key_batches", lambda *a, **k: 4)
+    a, b = _build_pair(tmp, tree_file, fasta_file, ar_dir, "shb",
+                       monkeypatch)
+    assert_db_equal(a, b)
+
+
+def test_sharded_build_sparse_equal(dna_project, monkeypatch):
+    tmp, tree_file, fasta_file, ar_dir = dna_project
+    import ipk_tpu.builder as builder_mod
+    monkeypatch.setattr(builder_mod, "MAX_DENSE_KEYSPACE", 1)
+    a, b = _build_pair(tmp, tree_file, fasta_file, ar_dir, "shs",
+                       monkeypatch)
+    assert_db_equal(a, b)
+
+
+def test_sharded_build_positions_equal(dna_project, monkeypatch):
+    tmp, tree_file, fasta_file, ar_dir = dna_project
+    a, b = _build_pair(tmp, tree_file, fasta_file, ar_dir, "shp",
+                       monkeypatch, keep_positions=True)
+    pa, pb = serialize.load(a), serialize.load(b)
+    assert_db_equal(a, b)
+    np.testing.assert_array_equal(pa.positions, pb.positions)
