@@ -89,7 +89,7 @@ def run_tpu(P_all, pipeline=8):
 
 def run_baseline(P_all):
     """Single-core tuples/sec of the clean-room C++ DCLA on a ghost subset."""
-    digest = f"{K}-{SIGMA}-{OMEGA}-{NUM_GROUPS}-{S}-{BASELINE_GHOSTS}-v1"
+    digest = f"{K}-{SIGMA}-{OMEGA}-{NUM_GROUPS}-{S}-{BASELINE_GHOSTS}-v2"
     if os.path.exists(CACHE):
         with open(CACHE) as f:
             cached = json.load(f)
@@ -105,7 +105,7 @@ def run_baseline(P_all):
 
     sub = P_all[:BASELINE_GHOSTS]
     eps = np.float32(np.log10((OMEGA / SIGMA) ** K))
-    header = struct.pack("<qqqqf", sub.shape[0], S, SIGMA, K, eps)
+    header = struct.pack("<qqqqfq", sub.shape[0], S, SIGMA, K, eps, 0)
     result = subprocess.run([binary], input=header + sub.tobytes(),
                             capture_output=True, check=True)
     out = json.loads(result.stdout)

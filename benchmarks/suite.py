@@ -61,8 +61,8 @@ def cpp_baseline_rate(P_sub, k, sigma, eps):
             or os.path.getmtime(binary) < os.path.getmtime(src)):
         subprocess.run(["g++", "-O3", "-march=native", "-o", binary, src],
                        check=True)
-    header = struct.pack("<qqqqf", P_sub.shape[0], P_sub.shape[1], sigma, k,
-                         eps)
+    header = struct.pack("<qqqqfq", P_sub.shape[0], P_sub.shape[1], sigma, k,
+                         eps, 0)
     result = subprocess.run([binary], input=header + P_sub.tobytes(),
                             capture_output=True, check=True)
     out = json.loads(result.stdout)
@@ -259,7 +259,68 @@ def main():
     # 6. placement serving throughput
     record("placement_serving", placement_bench(rng))
 
+    # 7. full DB-build wall time vs C++ stage-1 on identical inputs
+    record("full_build_dna_k8", full_build_bench())
+
     print(json.dumps(results, indent=1))
+
+
+def full_build_bench(num_leaves=64, width=400, k=8, omega=1.5):
+    """BASELINE.md row 2: end-to-end ``build()`` wall time (AR replayed) vs
+    the single-core C++ clean-room DCLA doing enumeration + insert-or-max
+    merge on the identical ghost tensor. The C++ side covers the reference's
+    stage-1 "Computation time" (``db_builder.cpp:230-237``, its dominant
+    stage); our side includes everything: IO, enumeration, extraction,
+    filtering and serialization.
+    """
+    import pathlib
+    import sys
+    import tempfile
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from fixtures import make_project
+    from ipk_tpu.pipeline import BuildParams, build_database
+    from ipk_tpu import alignment as aln, tree as tr
+    from ipk_tpu.ar.mapping import gather_ghost_tensor, ghost_groups, map_nodes
+    from ipk_tpu.ar.reader import read_ancestral_probs
+    from ipk_tpu.seq import DNA
+
+    with tempfile.TemporaryDirectory() as tmp:
+        tree_file, fasta_file, ar_dir = make_project(
+            pathlib.Path(tmp), num_leaves=num_leaves, width=width, seed=9)
+        params = BuildParams(
+            refalign=fasta_file, reftree=tree_file,
+            working_dir=os.path.join(tmp, "wd"), ar_dir=ar_dir, kmer_size=k,
+            omega=omega, output_filename=os.path.join(tmp, "DB.ipk"),
+            verbosity=0)
+        result = build_database(params)     # warm (compile cached after)
+        t0 = time.monotonic()
+        result = build_database(params)
+        secs = time.monotonic() - t0
+
+        # identical inputs for the C++ oracle: the builder's ghost tensor
+        original_tree, extended_tree, ghost_mapping = tr.preprocess_tree(
+            tree_file, False)
+        ar_tree = tr.load_newick(
+            os.path.join(ar_dir, "align.raxml.ancestralTree"))
+        if original_tree.is_rooted() and not ar_tree.is_rooted():
+            tr.reroot_tree(ar_tree)
+        ar_mapping = map_nodes(extended_tree, ar_tree)
+        label_rows, P = read_ancestral_probs(
+            os.path.join(ar_dir, "align.raxml.ancestralProbs"), DNA)
+        groups, _ = ghost_groups(extended_tree, original_tree, ghost_mapping,
+                                 "both")
+        P_all = np.ascontiguousarray(
+            gather_ghost_tensor(groups, ar_mapping, label_rows, P),
+            dtype=np.float32)
+        eps = np.float32(np.log10((omega / 4) ** k))
+        _, raw = cpp_baseline_rate(P_all, k, 4, eps)
+        return {"seconds": secs,
+                "num_explored": result.num_explored,
+                "cpp_stage1_seconds": raw["ms"] / 1e3,
+                "cpp_tuples": raw["tuples"],
+                "speedup": (raw["ms"] / 1e3) / secs,
+                "note": ("full build incl. IO/filter/serialize vs C++ "
+                         "stage-1 (enumeration+merge) on identical inputs")}
 
 
 def placement_bench(rng, K=500_000, B=512, k=10, Q=20480, L=150):

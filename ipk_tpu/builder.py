@@ -87,6 +87,43 @@ def pick_key_batches(B: int, nl: int, nr: int,
     return min(batches, nl)
 
 
+class _Progress:
+    """Per-unit stage-1 progress at verbosity >= 1: the reference shows
+    indicators::ProgressBar per branch group (``db_builder.cpp:588-600``);
+    here stage 1 is batched, so the unit is a key batch / ghost chunk.
+    In-place bar on a TTY, one line per update otherwise."""
+
+    def __init__(self, label: str, total: int, enabled: bool):
+        import sys
+        self.label, self.total = label, total
+        self.enabled = enabled and total > 0
+        self.tty = sys.stderr.isatty()
+        self.done = 0
+        if self.enabled:
+            self._draw()
+
+    def step(self, n: int = 1) -> None:
+        if not self.enabled:
+            return
+        self.done += n
+        self._draw()
+
+    def _draw(self) -> None:
+        import sys
+        frac = self.done / self.total
+        if self.tty:
+            width = 30
+            fill = int(width * frac)
+            sys.stderr.write(f"\r{self.label} [{'#' * fill}"
+                             f"{'.' * (width - fill)}] "
+                             f"{self.done}/{self.total}")
+            if self.done >= self.total:
+                sys.stderr.write("\n")
+            sys.stderr.flush()
+        else:
+            print(f"{self.label}: {self.done}/{self.total}", flush=True)
+
+
 class BuildResult:
     def __init__(self, db: PhyloKmerDB, num_explored: int,
                  timings: Dict[str, float]):
@@ -187,7 +224,8 @@ MAX_DENSE_KEYSPACE = 1 << 24
 
 def _enumerate_sparse_branches(P_all: np.ndarray, prefix_all: np.ndarray, *,
                                k: int, sigma: int, bits: int, eps: np.float32,
-                               ghosts_per_group: int, cap: int, mesh=None):
+                               ghosts_per_group: int, cap: int, mesh=None,
+                               verbose: int = 0):
     """Large-k stage 1: per-branch merged survivor lists.
 
     Survivor-list capacities adapt per span of the split tree: a cheap
@@ -204,6 +242,8 @@ def _enumerate_sparse_branches(P_all: np.ndarray, prefix_all: np.ndarray, *,
     # ghosts are batched (vmapped) so each window block costs one device
     # dispatch + one host transfer for the whole chunk, not one per ghost
     chunk_groups = max(1, 32 // ghosts_per_group)
+    n_chunks = -(-(G // ghosts_per_group) // chunk_groups)
+    bar = _Progress("Computing phylo-k-mers", n_chunks, verbose >= 1)
     for b0 in range(0, G // ghosts_per_group, chunk_groups):
         nb = min(chunk_groups, G // ghosts_per_group - b0)
         i0 = b0 * ghosts_per_group
@@ -223,6 +263,7 @@ def _enumerate_sparse_branches(P_all: np.ndarray, prefix_all: np.ndarray, *,
                 codes[g0:g0 + ghosts_per_group],
                 scores[g0:g0 + ghosts_per_group])
             per_branch.append((merged_c, merged_s))
+        bar.step()
     return per_branch, explored
 
 
@@ -458,7 +499,8 @@ def build(original_tree: PhyloTree,
         per_branch, num_explored = _enumerate_sparse_branches(
             P_all, prefix_all, k=kmer_size, sigma=sigma,
             bits=traits.bits_per_symbol, eps=eps,
-            ghosts_per_group=ghosts_per_group, cap=sparse_cap, mesh=mesh)
+            ghosts_per_group=ghosts_per_group, cap=sparse_cap, mesh=mesh,
+            verbose=verbose)
         sparse_part = _extract_from_lists(
             per_branch, group_ids, original_tree.get_node_count(), threshold,
             filter_type, rng_stream, merge_branches)
@@ -491,6 +533,8 @@ def build(original_tree: PhyloTree,
 
     if use_sparse:
         handle_part(0, sparse_part)
+    bar = _Progress("Computing phylo-k-mers",
+                    0 if use_sparse else key_batches, verbose >= 1)
     for batch_idx, batch in enumerate(batches):
         if batch[0] == "dense":
             _, lo, A, pos, count = batch
@@ -507,6 +551,7 @@ def build(original_tree: PhyloTree,
                 original_tree.get_node_count(), threshold,
                 filter_type, rng_stream, merge_branches)
         handle_part(batch_idx, part)
+        bar.step()
     timings["computation"] = time.monotonic() - t0
     if verbose > 0:
         print(f"Computation time: {timings['computation']*1e3:.0f} ms")

@@ -131,13 +131,27 @@ def ipk():
 @click.option("--profile", "profile_dir", type=click.Path(), default="",
               help="Write a jax.profiler device trace of the build to DIR "
                    "(view with TensorBoard / xprof).")
+@click.option("--coordinator", default="",
+              help="Multi-host: coordinator address host:port for "
+                   "jax.distributed (same on every host).")
+@click.option("--num-hosts", type=int, default=0,
+              help="Multi-host: total number of processes in the job.")
+@click.option("--host-id", type=int, default=-1,
+              help="Multi-host: this process's id in [0, num-hosts).")
 def build(ar, refalign, reftree, states, verbosity, workdir, alpha, categories,
           k, model, convert_uo, write_reduction, algorithm, no_reduction,
           reduction_ratio, omega, filter, mu, ghosts, use_unrooted,
           merge_branches, ar_dir, ar_only, ar_config, ar_optimize,
           ar_opt_steps, keep_positions, uncompressed, threads, output,
-          on_disk, max_candidates, profile_dir):
+          on_disk, max_candidates, profile_dir, coordinator, num_hosts,
+          host_id):
     """Compute a database of phylo-k-mers."""
+    if num_hosts and num_hosts > 1:
+        # must run before the first device query (jax.distributed contract)
+        from .parallel.mesh import initialize_distributed
+        initialize_distributed(coordinator=coordinator or None,
+                               num_processes=num_hosts,
+                               process_id=host_id if host_id >= 0 else None)
     from .utils.cache import enable_compilation_cache
     enable_compilation_cache()
     from .pipeline import BuildParams, build_database

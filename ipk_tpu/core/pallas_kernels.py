@@ -420,7 +420,8 @@ def staircase_select(sL: jnp.ndarray, cL: jnp.ndarray, sR: jnp.ndarray,
     nTC = cap // 128
     if w_blk is None:
         w_blk = 8
-    w_blk = max(1, min(w_blk, W))
+    # the tot output block (1, w_blk, 128) needs a sublane-aligned w_blk
+    w_blk = max(8, min(-(-w_blk // 8) * 8, -(-W // 8) * 8))
     Wp = -(-W // w_blk) * w_blk
 
     cLi = jax.lax.bitcast_convert_type(cL, jnp.int32)

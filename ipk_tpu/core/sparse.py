@@ -59,7 +59,10 @@ __all__ = ["enumerate_sparse", "enumerate_sparse_many",
 #: fused-elementwise working-set budget for the XLA fallback (elems per chunk)
 _CHUNK_ELEMS = 1 << 26
 
-#: spans with σ^h at or below this stay complete (no selection, no overflow)
+#: spans with σ^h at or below this stay complete (no selection, no overflow).
+#: Measured on TPU: capacity-bounding 400-wide AA h=2 lists at 128 LOSES —
+#: the extra per-level kernel passes cost more than the shrunken parent
+#: staircase saves (fixed ~1-2 us/window per combine dominates tiny tiles).
 COMPLETE_LIMIT = 512
 
 #: Pallas kernel limits (list sizes beyond this use the XLA fallback)
@@ -352,9 +355,13 @@ def _pairs_device(P_all, prefix_all, log_threshold, *, k: int, sigma: int,
 
     P_all: [G, S, sigma] f32, prefix_all: [G, S+1] f32. Returns
     (cl_sel, cr_sel [G, W, C] uint32, scores [G, W, C] f32,
-    overflow {span: [G] bool}) where a survivor's packed key is
+    ovf_spans [1, n_spans] bool in ``_spans(k)`` order,
+    ovf_ghosts [G] bool) where a survivor's packed key is
     ``cl << (bits·(k - k//2)) | cr`` (``pk_compute.cpp:96-105``).
-    All device arithmetic is f32/int32 — no 64-bit emulation."""
+    All device arithmetic is f32/int32 — no 64-bit emulation. Overflow is
+    aggregated ON DEVICE into the two small arrays: per-flag host reads
+    would each pay a device round-trip (~30 ms through the TPU tunnel,
+    measured dominating the whole dispatch)."""
     caps = dict(caps_t)
     G, S = P_all.shape[0], P_all.shape[1]
     W = S - k + 1
@@ -367,7 +374,7 @@ def _pairs_device(P_all, prefix_all, log_threshold, *, k: int, sigma: int,
             jax.lax.broadcasted_iota(jnp.uint32, (1, 1, sigma), 2),
             (G, W, sigma))
         return (jnp.zeros_like(codes), codes, scores,
-                {(0, 1): jnp.zeros((G,), bool)})
+                jnp.zeros((1, 1), bool), jnp.zeros((G,), bool))
 
     lists: Dict[Tuple[int, int], tuple] = {}
     overflow: Dict[Tuple[int, int], jnp.ndarray] = {}
@@ -389,12 +396,14 @@ def _pairs_device(P_all, prefix_all, log_threshold, *, k: int, sigma: int,
         codes, scores, ovf = _combine(lists, span, eps[span], sigma=sigma,
                                       bits=bits, caps=caps,
                                       use_kernel=use_kernel, top=top)
-        if top:
-            overflow[span] = ovf
-            cl_sel, cr_sel = codes
-            return cl_sel, cr_sel, scores, {**overflow, span: ovf}
-        lists[span] = (codes, scores, no_ovf)
         overflow[span] = ovf
+        if top:
+            cl_sel, cr_sel = codes
+            ovf_spans = jnp.stack(
+                [overflow[s].any() for s in _spans(k)])[None, :]
+            ovf_ghosts = functools.reduce(jnp.logical_or, overflow.values())
+            return cl_sel, cr_sel, scores, ovf_spans, ovf_ghosts
+        lists[span] = (codes, scores, no_ovf)
     raise AssertionError("unreachable")  # pragma: no cover
 
 
@@ -424,25 +433,11 @@ def _sharded_pairs_fn(mesh, k: int, sigma: int, bits: int, caps_t: tuple,
         out_specs=PS("branch")))
 
 
-def enumerate_pairs_device(P_all, prefix_all, log_threshold, *, k: int,
-                           sigma: int, bits: int, cap: int,
-                           caps: Optional[Dict] = None,
-                           use_kernel: Optional[bool] = None,
-                           mesh=None):
-    """Ghost-batched device enumeration with adaptive per-span capacities.
-
-    Runs :func:`_pairs_device`, doubling any span whose capacity overflows
-    (recompiles are cached per caps tuple) until the ``cap`` ceiling.
-    Returns (cl_sel, cr_sel [G, W, C] uint32, scores [G, W, C] f32,
-    overflow [G] bool) — overflow is only set when the ceiling is reached.
-    With ``mesh``, the batch is sharded over the "branch" axis (ghost rows
-    padded to the mesh with inert matrices and trimmed from the outputs).
-    """
+def _prepare_batch(P_all, prefix_all, use_kernel, mesh):
+    """Resolve the kernel default and (with a mesh) pad + shard the ghost
+    axis. Returns (P_dev, prefix_dev, G0, use_kernel)."""
     if use_kernel is None:
         use_kernel = _use_kernel_default()
-    if caps is None:
-        caps = default_caps(k, sigma, cap)
-    caps = normalize_caps(caps, k, sigma, cap)
     G0 = P_all.shape[0]
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as PS
@@ -453,38 +448,89 @@ def enumerate_pairs_device(P_all, prefix_all, log_threshold, *, k: int,
         sh = NamedSharding(mesh, PS("branch"))
         P_all = jax.device_put(P_all, sh)
         prefix_all = jax.device_put(prefix_all, sh)
+    return P_all, prefix_all, G0, use_kernel
+
+
+def enumerate_pairs_deferred(P_all, prefix_all, log_threshold, *, k: int,
+                             sigma: int, bits: int, caps: Dict,
+                             use_kernel: Optional[bool] = None, mesh=None):
+    """Dispatch one whole-batch enumeration WITHOUT reading its overflow
+    flags — the host sync (a ~30 ms tunnel round-trip, measured dominating
+    the dispatch) is deferred so successive chunks pipeline back-to-back on
+    device. Returns an opaque pending handle for :func:`resolve_deferred`.
+    """
+    P_dev, pre_dev, G0, use_kernel = _prepare_batch(P_all, prefix_all,
+                                                    use_kernel, mesh)
+    if mesh is not None:
+        out = _sharded_pairs_fn(
+            mesh, k, sigma, bits, _caps_key(caps), use_kernel)(
+                P_dev, pre_dev, jnp.float32(log_threshold))
+    else:
+        out = _pairs_device(
+            P_dev, pre_dev, jnp.float32(log_threshold), k=k,
+            sigma=sigma, bits=bits, caps_t=_caps_key(caps),
+            use_kernel=use_kernel)
+    return (G0, out)
+
+
+def resolve_deferred(pend, *, k: int, sigma: int, cap: int, caps: Dict):
+    """Settle a deferred enumeration: ONE small host transfer reads the
+    per-span overflow vector; overflowing spans grow their caps and request
+    a re-dispatch.
+
+    Returns (done, result, caps): done=True with result =
+    (cl, cr, scores, overflow[G] np.bool_) when the chunk is complete (the
+    flags are set only at the cap ceiling); done=False with result=None when
+    the caller must re-dispatch with the returned (grown) caps.
+    """
+    spans_order = _spans(k) if k > 1 else [(0, 1)]
+    G0, (cl, cr, scores, ovf_spans, ovf_ghosts) = pend
+    vec = np.asarray(ovf_spans).any(axis=0)
+    flagged = [s for s, f in zip(spans_order, vec) if f]
+    if not flagged:
+        return True, (cl[:G0], cr[:G0], scores[:G0],
+                      np.zeros((G0,), bool)), caps
+    grew = False
+    new_caps = dict(caps)
+    for span in flagged:
+        j, h = span
+        natural = _natural_size(j, h, sigma, caps)
+        cur = caps[span]
+        if cur < min(cap, natural):
+            new_caps[span] = min(cap, natural, cur * 2)
+            grew = True
+    if not grew:
+        # ceiling reached: report which ghosts overflowed
+        return True, (cl[:G0], cr[:G0], scores[:G0],
+                      np.asarray(ovf_ghosts)[:G0]), caps
+    return False, None, normalize_caps(new_caps, k, sigma, cap)
+
+
+def enumerate_pairs_device(P_all, prefix_all, log_threshold, *, k: int,
+                           sigma: int, bits: int, cap: int,
+                           caps: Optional[Dict] = None,
+                           use_kernel: Optional[bool] = None,
+                           mesh=None):
+    """Ghost-batched device enumeration with adaptive per-span capacities.
+
+    Dispatches :func:`_pairs_device`, doubling any span whose capacity
+    overflows (recompiles are cached per caps tuple) until the ``cap``
+    ceiling. Returns (cl_sel, cr_sel [G, W, C] uint32,
+    scores [G, W, C] f32, overflow [G] bool) — overflow is only set when
+    the ceiling is reached. With ``mesh``, the batch is sharded over the
+    "branch" axis (ghost rows padded with inert matrices and trimmed).
+    """
+    if caps is None:
+        caps = default_caps(k, sigma, cap)
+    caps = normalize_caps(caps, k, sigma, cap)
     while True:
-        if mesh is not None:
-            cl, cr, scores, ovf = _sharded_pairs_fn(
-                mesh, k, sigma, bits, _caps_key(caps), use_kernel)(
-                    P_all, prefix_all, jnp.float32(log_threshold))
-        else:
-            cl, cr, scores, ovf = _pairs_device(
-                P_all, prefix_all, jnp.float32(log_threshold), k=k,
-                sigma=sigma, bits=bits, caps_t=_caps_key(caps),
-                use_kernel=use_kernel)
-        cl, cr, scores = cl[:G0], cr[:G0], scores[:G0]
-        ovf = {span: flags[:G0] for span, flags in ovf.items()}
-        flagged = {span: flags for span, flags in ovf.items()
-                   if bool(flags.any())}
-        if not flagged:
-            return cl, cr, scores, np.zeros((G0,), bool)
-        grew = False
-        new_caps = dict(caps)
-        for span in flagged:
-            j, h = span
-            natural = _natural_size(j, h, sigma, caps)
-            cur = caps[span]
-            if cur < min(cap, natural):
-                new_caps[span] = min(cap, natural, cur * 2)
-                grew = True
-        if not grew:
-            # ceiling reached: report which ghosts overflowed
-            combined = np.zeros((G0,), bool)
-            for flags in flagged.values():
-                combined |= np.asarray(flags)
-            return cl, cr, scores, combined
-        caps = normalize_caps(new_caps, k, sigma, cap)
+        pend = enumerate_pairs_deferred(
+            P_all, prefix_all, log_threshold, k=k, sigma=sigma, bits=bits,
+            caps=caps, use_kernel=use_kernel, mesh=mesh)
+        done, result, caps = resolve_deferred(pend, k=k, sigma=sigma,
+                                              cap=cap, caps=caps)
+        if done:
+            return result
 
 
 def _pack_host(cl: np.ndarray, cr: np.ndarray, *, k: int, bits: int
@@ -527,17 +573,32 @@ def enumerate_sparse_many(P_all, prefix_all, log_threshold, *, k: int,
     per_ghost = W * top_cap * 48
     ghost_chunk = max(1, min(G, combine_budget_bytes // max(1, per_ghost)))
 
+    # dispatch EVERY chunk before settling any (enumerate_pairs_deferred):
+    # the per-chunk overflow read is a device round-trip, and reading it
+    # eagerly would stall the pipeline between chunks
+    chunks = [(g0, min(G, g0 + ghost_chunk))
+              for g0 in range(0, G, ghost_chunk)]
+    pending = [(g0, g1, enumerate_pairs_deferred(
+        P_all[g0:g1], prefix_all[g0:g1], np.float32(log_threshold), k=k,
+        sigma=sigma, bits=bits, caps=caps, use_kernel=use_kernel, mesh=mesh))
+        for (g0, g1) in chunks]
+
     out_c, out_s = [], []
     overflow = np.zeros((G,), bool)
-    for g0 in range(0, G, ghost_chunk):
-        g1 = min(G, g0 + ghost_chunk)
-        cl, cr, scores, ovf = enumerate_pairs_device(
-            P_all[g0:g1], prefix_all[g0:g1],
-            np.float32(log_threshold), k=k, sigma=sigma, bits=bits, cap=cap,
-            caps=caps, use_kernel=use_kernel, mesh=mesh)
+    for g0, g1, pend in pending:
+        while True:
+            done, result, caps = resolve_deferred(pend, k=k, sigma=sigma,
+                                                  cap=cap, caps=caps)
+            if done:
+                break
+            pend = enumerate_pairs_deferred(
+                P_all[g0:g1], prefix_all[g0:g1], np.float32(log_threshold),
+                k=k, sigma=sigma, bits=bits, caps=caps,
+                use_kernel=use_kernel, mesh=mesh)
+        cl, cr, scores, ovf = result
         out_c.append(_pack_host(cl, cr, k=k, bits=bits))
         out_s.append(np.asarray(scores, dtype=np.float32))
-        overflow[g0:g1] = np.asarray(ovf)
+        overflow[g0:g1] = ovf
     if len(out_c) > 1:
         # chunks may have adapted to different capacities: pad to the widest
         Cmax = max(c.shape[2] for c in out_c)

@@ -11,8 +11,14 @@
 // explored-tuple counter the reference prints in stage 1.
 //
 // stdin protocol (binary, little-endian):
-//   int64 G, S, sigma, k; float eps;  then G*S*sigma float32 log10 scores.
-// stdout: one JSON line {"tuples": N, "ms": T, "entries": M}.
+//   int64 G, S, sigma, k; float eps; int64 emit;
+//   then G*S*sigma float32 log10 scores.
+// stdout: one JSON line {"tuples": N, "ms": T, "entries": M}. With emit=1,
+// the merged per-group survivor sets follow (the correctness-gate mode:
+// tests assert bit-equality of the TPU dense and sparse paths against this
+// independent implementation): per group a line "G <gid> <n>", then n lines
+// "<code> <score-bits>" (f32 score as its raw uint32 bits — exact),
+// ascending by code.
 //
 // Build: g++ -O3 -march=native -o baseline_dcla baseline_dcla.cpp
 
@@ -20,6 +26,7 @@
 #include <chrono>
 #include <cstdint>
 #include <cstdio>
+#include <cstring>
 #include <unordered_map>
 #include <vector>
 
@@ -106,12 +113,13 @@ class Enumerator {
 }  // namespace
 
 int main() {
-    int64_t G, S, sigma, k;
+    int64_t G, S, sigma, k, emit;
     float eps;
     if (std::fread(&G, 8, 1, stdin) != 1 || std::fread(&S, 8, 1, stdin) != 1 ||
         std::fread(&sigma, 8, 1, stdin) != 1 ||
         std::fread(&k, 8, 1, stdin) != 1 ||
-        std::fread(&eps, 4, 1, stdin) != 1) {
+        std::fread(&eps, 4, 1, stdin) != 1 ||
+        std::fread(&emit, 8, 1, stdin) != 1) {
         std::fprintf(stderr, "bad header\n");
         return 1;
     }
@@ -126,6 +134,7 @@ int main() {
     const auto t0 = std::chrono::steady_clock::now();
     size_t tuples = 0, entries = 0;
     std::unordered_map<uint64_t, float> group_map;
+    std::vector<std::vector<std::pair<uint64_t, float>>> merged;
     for (int64_t g = 0; g < G; ++g) {
         if (g % 2 == 0) group_map.clear();  // two ghosts per group
         Matrix m{all.data() + g * S * sigma, S, sigma, {}};
@@ -138,12 +147,27 @@ int main() {
                 ++tuples;
             }
         }
-        if (g % 2 == 1) entries += group_map.size();
+        if (g % 2 == 1) {
+            entries += group_map.size();
+            if (emit)
+                merged.emplace_back(group_map.begin(), group_map.end());
+        }
     }
     const auto t1 = std::chrono::steady_clock::now();
     const double ms =
         std::chrono::duration<double, std::milli>(t1 - t0).count();
     std::printf("{\"tuples\": %zu, \"ms\": %.3f, \"entries\": %zu}\n", tuples,
                 ms, entries);
+    for (size_t gi = 0; gi < merged.size(); ++gi) {
+        auto& rows = merged[gi];
+        std::sort(rows.begin(), rows.end());
+        std::printf("G %zu %zu\n", gi, rows.size());
+        for (const auto& [code, score] : rows) {
+            uint32_t bits32;
+            std::memcpy(&bits32, &score, 4);
+            std::printf("%llu %u\n",
+                        static_cast<unsigned long long>(code), bits32);
+        }
+    }
     return 0;
 }

@@ -62,9 +62,11 @@ def write_ancestral_probs(filename: str, ar_tree: PhyloTree, width: int,
     per site, raxml column order (alphabetical for AA; ACGT for DNA)."""
     from ipk_tpu.ar.reader import RAXML_AA_ORDER
     sigma = traits.alphabet_size
+    hdr_letters = RAXML_AA_ORDER if sigma == 20 else traits.letters
     with open(filename, "w") as f:
+        # real raxml-ng header: p_A p_C p_G p_T (DNA) / raxml AA order
         f.write("Node\tSite\tState\t" +
-                "\t".join(f"p_{i}" for i in range(sigma)) + "\n")
+                "\t".join(f"p_{c.upper()}" for c in hdr_letters) + "\n")
         for node in postorder(ar_tree.root):
             if node.is_leaf():
                 continue

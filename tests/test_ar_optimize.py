@@ -166,3 +166,114 @@ def test_run_native_ar_optimized_artifacts(tmp_path):
     # caller's extended tree is untouched
     assert np.allclose(
         orig, [n.branch_length for n in postorder(ext.root)])
+
+
+# ---------------------------------------------------------------------------
+# r2: quantitative fitness of the native AR optimizer (VERDICT r1 item 8).
+# raxml-ng is not available in this environment, so the anchor is simulation
+# recovery: sequences simulated under known GTR+Γ parameters, optimization
+# started from perturbed branch lengths must (a) reach at least the true
+# parameters' likelihood, (b) recover branch lengths within a quantitative
+# budget, and (c) move the posteriors toward the truth-parameter posteriors.
+# ---------------------------------------------------------------------------
+
+def _simulate_alignment(tree, freqs, lam, U, U_inv, cat_rates, S, rng):
+    from ipk_tpu.tree import postorder
+    import numpy as np
+
+    def P_of(t):
+        return (U * np.exp(lam * t)[None, :]) @ U_inv
+
+    cats = rng.integers(0, len(cat_rates), size=S)
+    nodes = list(postorder(tree.root))
+    states = {}
+    for site in range(S):
+        r = cat_rates[cats[site]]
+        # root draw + downward propagation (preorder)
+        for n in reversed(nodes):
+            if n.parent is None:
+                states.setdefault(id(n), []).append(
+                    rng.choice(len(freqs), p=freqs))
+            else:
+                P = P_of(n.branch_length * r)
+                parent_state = states[id(n.parent)][site]
+                p = np.maximum(P[parent_state], 0)
+                p = p / p.sum()
+                states.setdefault(id(n), []).append(
+                    rng.choice(len(freqs), p=p))
+    leaves = [n for n in nodes if n.is_leaf()]
+    seqs = {n.label: "".join("ACGT"[s] for s in states[id(n)])
+            for n in leaves}
+    return seqs
+
+
+def test_optimizer_recovers_simulated_parameters():
+    import numpy as np
+    from ipk_tpu.alignment import Alignment
+    from ipk_tpu.ar.native import (ancestral_posteriors,
+                                   gamma_category_rates,
+                                   gtr_eigendecomposition)
+    from ipk_tpu.ar.optimize import (apply_branch_lengths,
+                                     optimize_parameters,
+                                     tree_loglikelihood_fn)
+    from ipk_tpu.seq import DNA
+    from ipk_tpu.tree import parse_newick, postorder
+
+    rng = np.random.default_rng(17)
+    newick = ("((a:0.25,b:0.6)x:0.3,((c:0.15,d:0.45)y:0.2,e:0.7)z:0.35)r;")
+    tree = parse_newick(newick)
+    freqs = np.array([0.3, 0.2, 0.25, 0.25])
+    lam, U, U_inv = gtr_eigendecomposition(freqs)
+    cat_rates = gamma_category_rates(1.0, 4)
+    S = 3000
+    seqs = _simulate_alignment(tree, freqs, lam, U, U_inv, cat_rates, S, rng)
+    align = Alignment(list(seqs), [seqs[h] for h in seqs])
+
+    true_bl = {n.label: n.branch_length for n in postorder(tree.root)
+               if n.parent is not None}
+
+    # perturb: double every branch length, then optimize
+    work = parse_newick(newick)
+    for n in postorder(work.root):
+        if n.parent is not None:
+            n.branch_length *= 2.0
+    result = optimize_parameters(work, align, DNA, alpha=1.0, categories=4,
+                                 optimize_rates=False, steps=300,
+                                 verbosity=0)
+
+    # (a) likelihood at the fit >= likelihood at the simulation truth
+    loglik, data = tree_loglikelihood_fn(tree, align, DNA, 4)
+    import jax.numpy as jnp
+    ll_truth = float(loglik(jnp.asarray(data.branch_lengths, jnp.float64),
+                            jnp.ones(6, jnp.float64), jnp.asarray(1.0),
+                            jnp.asarray(freqs, jnp.float64)))
+    assert result.loglik_final >= ll_truth - 2.0, \
+        (result.loglik_final, ll_truth)
+
+    # (b) branch lengths recovered within a quantitative budget
+    apply_branch_lengths(work, result.branch_lengths)
+    fit_bl = {n.label: n.branch_length for n in postorder(work.root)
+              if n.parent is not None}
+    rel = [abs(fit_bl[lbl] - true_bl[lbl]) / max(true_bl[lbl], 0.05)
+           for lbl in true_bl]
+    assert np.mean(rel) < 0.25, (sorted(zip(true_bl, rel)), np.mean(rel))
+    assert max(rel) < 0.75, sorted(zip(true_bl, rel))
+
+    # (c) optimized posteriors approach the truth-parameter posteriors
+    _, post_truth = ancestral_posteriors(tree, align, DNA, alpha=1.0,
+                                         categories=4)
+    perturbed = parse_newick(newick)
+    for n in postorder(perturbed.root):
+        if n.parent is not None:
+            n.branch_length *= 2.0
+    _, post_bad = ancestral_posteriors(perturbed, align, DNA, alpha=1.0,
+                                       categories=4)
+    _, post_fit = ancestral_posteriors(work, align, DNA,
+                                       alpha=float(result.alpha),
+                                       categories=4)
+    err_bad = np.abs(post_bad - post_truth).max()
+    err_fit = np.abs(post_fit - post_truth).max()
+    assert err_fit < err_bad, (err_fit, err_bad)
+    # absolute budgets: worst single (node, site, state) and the mean
+    assert err_fit < 0.12, err_fit
+    assert np.abs(post_fit - post_truth).mean() < 0.01
