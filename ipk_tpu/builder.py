@@ -136,6 +136,13 @@ class BuildResult:
 # stage 1: enumeration (batched over the key space)
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=32)
+def _halves_fn(k: int, sigma: int):
+    return jax.jit(jax.vmap(
+        functools.partial(dense.masked_halves, k=k, sigma=sigma),
+        in_axes=(0, 0, None)))
+
+
 def _enumerate_batches(P_all: np.ndarray, prefix_all: np.ndarray, *,
                        k: int, sigma: int, eps: np.float32,
                        ghosts_per_group: int, key_batches: int,
@@ -168,9 +175,7 @@ def _enumerate_batches(P_all: np.ndarray, prefix_all: np.ndarray, *,
         sh = NamedSharding(mesh, PS("branch"))
         P_all = jax.device_put(P_all, sh)
         prefix_all = jax.device_put(prefix_all, sh)
-    halves = jax.jit(jax.vmap(
-        functools.partial(dense.masked_halves, k=k, sigma=sigma),
-        in_axes=(0, 0, None)))
+    halves = _halves_fn(k, sigma)
     L, R = halves(P_all, prefix_all, eps)
     L, R = jax.block_until_ready((L, R))
 
@@ -210,7 +215,11 @@ def _enumerate_batches(P_all: np.ndarray, prefix_all: np.ndarray, *,
         else:
             A, cnt = combine(Lb, R)
             count = int(np.asarray(cnt).sum())
-            flat_idx, scores = dense.compact_survivors(A[:B0])
+            # compact the TRANSPOSED accumulator: row-major flat indices
+            # over [chunk, B] are key-major with groups ascending within a
+            # key — exactly the DB's required entry order, so the host
+            # extraction skips its O(n log n) lexsort
+            flat_idx, scores = dense.compact_survivors(A[:B0].T)
             yield ("compact", b * step * nr, B0, step * nr, flat_idx,
                    scores, count)
 
@@ -363,9 +372,12 @@ def _extract_compact(flat_idx: np.ndarray, scores: np.ndarray, B: int,
                      rng_stream: Optional[RandomFilterStream],
                      merge_branches: bool):
     """Device-compacted batch → unsorted DB arrays (same contract as
-    :func:`_extract_batch`). flat_idx is row-major over [B, chunk]."""
-    b_rows = (flat_idx // chunk).astype(np.int64)
-    key_local = (flat_idx % chunk).astype(np.int64)
+    :func:`_extract_batch`). flat_idx is row-major over the TRANSPOSED
+    accumulator [chunk, B] — ascending flat index is already key-major with
+    groups ascending within a key (the DB's entry order), so no host sort
+    is needed on this path."""
+    key_local = (flat_idx // B).astype(np.int64)
+    b_rows = (flat_idx % B).astype(np.int64)
     if merge_branches:
         # best entry per key (ties -> lowest group row); the key-primary sort
         # leaves the deduped keys already in ascending order
@@ -374,10 +386,6 @@ def _extract_compact(flat_idx: np.ndarray, scores: np.ndarray, B: int,
         first = np.ones(len(ks), dtype=bool)
         first[1:] = ks[1:] != ks[:-1]
         key_local, scores, b_rows = ks[first], ss[first], bs[first]
-    else:
-        order = np.lexsort((b_rows, key_local))   # key-major, group order
-        key_local, b_rows = key_local[order], b_rows[order]
-        scores = scores[order]
 
     first = np.ones(len(key_local), dtype=bool)
     if len(key_local):

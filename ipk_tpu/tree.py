@@ -154,10 +154,17 @@ class PhyloTree:
         return None
 
     def get_by_label(self, label: str) -> Optional[PhyloNode]:
-        for node in self._by_postorder:
-            if node.label == label:
-                return node
-        return None
+        # lazy O(1) index, rebuilt whenever index() re-ran (thousand-branch
+        # trees call this in loops during ghost grouping / node mapping)
+        cache = getattr(self, "_label_cache", None)
+        if cache is None or cache[0] is not self._by_postorder:
+            index = {}
+            for node in self._by_postorder:
+                if node.label and node.label not in index:
+                    index[node.label] = node
+            cache = (self._by_postorder, index)
+            self._label_cache = cache
+        return cache[1].get(label)
 
     def nodes_postorder(self) -> List[PhyloNode]:
         return list(self._by_postorder)
