@@ -182,10 +182,10 @@ def distributed_mi(P_all, k, sigma, eps, omega):
         total_num_groups=P_all.shape[0] // 2 + 1,
         threshold=score_threshold(omega, sigma, k))
     prefix_all = dense.best_score_prefix(P_all)
-    A, fv = step(P_all, prefix_all, eps)
+    A, fv, _ = step(P_all, prefix_all, eps)
     np.asarray(fv)  # compile + settle
     t0 = time.monotonic()
-    A, fv = step(P_all, prefix_all, eps)
+    A, fv, _ = step(P_all, prefix_all, eps)
     fv = np.asarray(fv)
     elapsed = time.monotonic() - t0
     entries = int(np.isfinite(np.asarray(A)).sum())

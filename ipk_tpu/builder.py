@@ -329,7 +329,7 @@ def _extract_batch(A: np.ndarray, lo: int, pos: Optional[np.ndarray],
                    group_ids: List[int], k: int, traits: SeqTraits,
                    total_num_groups: int, threshold: float,
                    filter_type: str, rng_stream: Optional[RandomFilterStream],
-                   merge_branches: bool):
+                   merge_branches: bool, fv_override=None):
     """Dense batch → (keys, fv, counts, branches, scores, positions)."""
     mask = np.isfinite(A)
     if merge_branches:
@@ -352,7 +352,10 @@ def _extract_batch(A: np.ndarray, lo: int, pos: Optional[np.ndarray],
     positions = (pos[branch_rows, cols[key_rows]].astype(np.uint32)
                  if pos is not None else None)
 
-    if filter_type == "mif0":
+    if fv_override is not None:
+        # distributed device MI (f32): values per dense key index
+        fv = fv_override[cols + lo].astype(np.float64)
+    elif filter_type == "mif0":
         # entries-based filter: the single mif0 implementation shared by the
         # dense, compacted and sparse paths (identical f64 summation order →
         # identical filter values and therefore identical DB ordering)
@@ -447,6 +450,7 @@ def build(original_tree: PhyloTree,
           block_w: int = 32,
           sparse: Optional[bool] = None,
           sparse_cap: int = 4096,
+          device_mi: bool = False,
           verbose: int = 1) -> BuildResult:
     """Run the full stage-1..3 build (cf. ``db_builder::run``,
     ``db_builder.cpp:182-218``)."""
@@ -503,7 +507,36 @@ def build(original_tree: PhyloTree,
         from .parallel.mesh import make_mesh
         mesh = make_mesh(n_branch=n_devices, n_key=1)
     num_explored = 0
-    if use_sparse:
+    fv_override = None
+    use_device_mi = (device_mi and mesh is not None and not use_sparse
+                     and not keep_positions and key_batches == 1
+                     and filter_type == "mif0")
+    if device_mi and not use_device_mi and verbose > 0:
+        print("Note: --device-mi needs a multi-device mesh, the dense "
+              "single-batch path and the mif0 filter; falling back to the "
+              "host f64 filter.")
+    if use_device_mi:
+        # pod-scale path: enumeration AND the mutual-information reduction
+        # stay on device (two psum collectives over the branch axis,
+        # build_sharded._local_step); filter values come back f32. The
+        # host-f64 path remains the canonical ordering (SURVEY.md §7.1/#6);
+        # this trades the last bits of fv rounding for never gathering the
+        # full entry set onto one host.
+        from .parallel.build_sharded import pad_ghosts, sharded_build_step
+        G0 = P_all.shape[0]
+        P_pad, pre_pad, _ = pad_ghosts(
+            P_all, prefix_all, mesh.shape["branch"] * ghosts_per_group)
+        step = sharded_build_step(
+            mesh, k=kmer_size, sigma=sigma,
+            ghosts_per_group=ghosts_per_group,
+            total_num_groups=original_tree.get_node_count(),
+            threshold=threshold, block_w=block_w)
+        A_dev, fv_dev, counts = step(P_pad, pre_pad, eps)
+        B0 = G0 // ghosts_per_group
+        count = int(np.asarray(counts)[:G0].astype(np.int64).sum())
+        fv_override = np.asarray(fv_dev)
+        batches = iter([("dense", 0, np.asarray(A_dev)[:B0], None, count)])
+    elif use_sparse:
         per_branch, num_explored = _enumerate_sparse_branches(
             P_all, prefix_all, k=kmer_size, sigma=sigma,
             bits=traits.bits_per_symbol, eps=eps,
@@ -550,7 +583,8 @@ def build(original_tree: PhyloTree,
             part = _extract_batch(
                 A, lo, pos, group_ids, kmer_size, traits,
                 original_tree.get_node_count(), threshold,
-                filter_type, rng_stream, merge_branches)
+                filter_type, rng_stream, merge_branches,
+                fv_override=fv_override)
         else:
             _, lo, B, chunk, flat_idx, scores, count = batch
             num_explored += count

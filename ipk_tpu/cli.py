@@ -131,6 +131,11 @@ def ipk():
 @click.option("--profile", "profile_dir", type=click.Path(), default="",
               help="Write a jax.profiler device trace of the build to DIR "
                    "(view with TensorBoard / xprof).")
+@click.option("--device-mi", is_flag=True, default=False,
+              help="Compute the mif0 filter on device via collective "
+                   "reductions (f32) instead of the host f64 pass - for "
+                   "pod-scale builds where the entry set should not be "
+                   "gathered to one host.")
 @click.option("--coordinator", default="",
               help="Multi-host: coordinator address host:port for "
                    "jax.distributed (same on every host).")
@@ -143,8 +148,8 @@ def build(ar, refalign, reftree, states, verbosity, workdir, alpha, categories,
           reduction_ratio, omega, filter, mu, ghosts, use_unrooted,
           merge_branches, ar_dir, ar_only, ar_config, ar_optimize,
           ar_opt_steps, keep_positions, uncompressed, threads, output,
-          on_disk, max_candidates, profile_dir, coordinator, num_hosts,
-          host_id):
+          on_disk, max_candidates, profile_dir, device_mi, coordinator,
+          num_hosts, host_id):
     """Compute a database of phylo-k-mers."""
     if num_hosts and num_hosts > 1:
         # must run before the first device query (jax.distributed contract)
@@ -173,7 +178,7 @@ def build(ar, refalign, reftree, states, verbosity, workdir, alpha, categories,
         algorithm=algorithm or "DCLA", convert_uo=convert_uo,
         write_reduction=write_reduction or "",
         max_candidates=max_candidates, profile_dir=profile_dir,
-        verbosity=verbosity)
+        device_mi=device_mi, verbosity=verbosity)
     build_database(params)
 
 

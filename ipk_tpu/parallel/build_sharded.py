@@ -52,8 +52,10 @@ def _shannon(x):
 def _local_step(P_loc, prefix_loc, log_threshold, *, k, sigma,
                 ghosts_per_group, total_num_groups, threshold, block_w):
     """Per-device: enumerate local ghosts, then join the collective MI pass."""
-    A_ghost = dense.accumulate_ghosts(P_loc, prefix_loc, log_threshold,
-                                      k=k, sigma=sigma, block_w=block_w)
+    A_ghost, counts = dense.accumulate_ghosts(P_loc, prefix_loc,
+                                              log_threshold, k=k,
+                                              sigma=sigma, block_w=block_w,
+                                              with_count=True)
     A_loc = dense.group_max(A_ghost, ghosts_per_group)        # [B_loc, K]
 
     mask = jnp.isfinite(A_loc)
@@ -81,7 +83,7 @@ def _local_step(P_loc, prefix_loc, log_threshold, *, k, sigma,
     tt = _shannon(thr / ss)
     HcBw1 = N * tt + (tv_k - cnt_k * tt)
     fv = ss * (HcBw1 - jnp.log2(N))
-    return A_loc, fv
+    return A_loc, fv, counts
 
 
 def sharded_enumerate(mesh: Mesh, P_all: np.ndarray, prefix_all: np.ndarray,
@@ -114,7 +116,8 @@ def sharded_build_step(mesh: Mesh, *, k: int, sigma: int, ghosts_per_group: int,
                        total_num_groups: int, threshold: float,
                        block_w: int = 32):
     """Build the jitted sharded step: (P_all, prefix_all, log_threshold) →
-    (A[B, σ^k] branch-sharded, fv[σ^k] f32 replicated).
+    (A[B, σ^k] branch-sharded, fv[σ^k] f32 key-sharded,
+    counts[G] branch-sharded explored-tuple totals).
 
     P_all's ghost axis must be divisible by mesh branch size × group size
     (use :func:`pad_ghosts`).
@@ -129,7 +132,7 @@ def sharded_build_step(mesh: Mesh, *, k: int, sigma: int, ghosts_per_group: int,
     mapped = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P("branch"), P("branch"), P()),
-        out_specs=(P("branch"), P("key")))
+        out_specs=(P("branch"), P("key"), P("branch")))
 
     @jax.jit
     def step(P_all, prefix_all, log_threshold):

@@ -64,6 +64,7 @@ class BuildParams:
     keep_positions: bool = False
     uncompressed: bool = False
     on_disk: bool = False
+    device_mi: bool = False      # pod-scale: keep the MI filter on device
     num_threads: int = 1
     verbosity: int = 1
 
@@ -152,7 +153,7 @@ def build_database(p: BuildParams) -> Optional[BuildResult]:
                      keep_positions=p.keep_positions,
                      output_filename=output, uncompressed=p.uncompressed,
                      on_disk=p.on_disk, working_dir=p.working_dir,
-                     sparse_cap=p.max_candidates,
+                     sparse_cap=p.max_candidates, device_mi=p.device_mi,
                      verbose=p.verbosity)
 
     if p.profile_dir:

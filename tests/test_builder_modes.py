@@ -269,3 +269,32 @@ def test_sharded_build_positions_equal(dna_project, monkeypatch):
     pa, pb = serialize.load(a), serialize.load(b)
     assert_db_equal(a, b)
     np.testing.assert_array_equal(pa.positions, pb.positions)
+
+
+def test_device_mi_build(dna_project):
+    """--device-mi: the MI filter runs on device (f32 collective psums,
+    build_sharded._local_step) instead of the host f64 pass. Content must be
+    identical (keys, entries, scores); filter values agree to f32 accuracy
+    and only the serialization ORDER may differ where f32 rounding flips
+    near-equal values."""
+    tmp, tree_file, fasta_file, ar_dir = dna_project
+    host = serialize.load(build_with(tmp, tree_file, fasta_file, ar_dir,
+                                     "mi_host"))
+    dev = serialize.load(build_with(tmp, tree_file, fasta_file, ar_dir,
+                                    "mi_dev", device_mi=True))
+    assert set(host.keys.tolist()) == set(dev.keys.tolist())
+
+    def content(db):
+        out = {}
+        for i, key in enumerate(db.keys.tolist()):
+            lo, hi = db.offsets[i], db.offsets[i + 1]
+            out[key] = (db.branches[lo:hi].tolist(),
+                        db.scores[lo:hi].tolist(),
+                        db.filter_values[i])
+        return out
+    ch, cd = content(host), content(dev)
+    for key in ch:
+        assert ch[key][0] == cd[key][0], key
+        assert ch[key][1] == cd[key][1], key
+        np.testing.assert_allclose(cd[key][2], ch[key][2], rtol=2e-5,
+                                   atol=1e-7)

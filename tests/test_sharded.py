@@ -34,7 +34,7 @@ def test_sharded_matches_single_device():
     step = sharded_build_step(mesh, k=k, sigma=sigma, ghosts_per_group=2,
                               total_num_groups=9,
                               threshold=score_threshold(1.5, sigma, k))
-    A_sharded, fv_sharded = step(P_all, prefix_all, eps)
+    A_sharded, fv_sharded, counts = step(P_all, prefix_all, eps)
     A_sharded = np.asarray(A_sharded)
 
     # single-device reference
@@ -75,7 +75,7 @@ def test_sharded_various_mesh_sizes(n_branch):
     step = sharded_build_step(mesh, k=k, sigma=sigma, ghosts_per_group=2,
                               total_num_groups=G // 2 + 1,
                               threshold=score_threshold(1.0, sigma, k))
-    A, fv = step(P_all, prefix_all, eps)
+    A, fv, _ = step(P_all, prefix_all, eps)
     A_ghost = dense.accumulate_ghosts(P_all, prefix_all, eps, k=k, sigma=sigma)
     expected = np.asarray(dense.group_max(A_ghost, 2))
     np.testing.assert_array_equal(np.asarray(A), expected)
@@ -92,7 +92,7 @@ def test_2d_mesh_branch_key():
     step = sharded_build_step(mesh, k=k, sigma=sigma, ghosts_per_group=2,
                               total_num_groups=9,
                               threshold=score_threshold(1.5, sigma, k))
-    A, fv = step(P_all, prefix_all, eps)
+    A, fv, _ = step(P_all, prefix_all, eps)
     assert np.asarray(fv).shape == (sigma ** k,)
     A_ghost = dense.accumulate_ghosts(P_all, prefix_all, eps, k=k, sigma=sigma)
     expected = np.asarray(dense.group_max(A_ghost, 2))
