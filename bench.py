@@ -18,8 +18,6 @@ the scale of BASELINE.json config 1/2.
 
 import json
 import os
-import struct
-import subprocess
 import sys
 import time
 
@@ -88,32 +86,30 @@ def run_tpu(P_all, pipeline=8):
 
 
 def run_baseline(P_all):
-    """Single-core tuples/sec of the clean-room C++ DCLA on a ghost subset."""
-    digest = f"{K}-{SIGMA}-{OMEGA}-{NUM_GROUPS}-{S}-{BASELINE_GHOSTS}-v2"
+    """Single-core tuples/sec of the clean-room C++ DCLA on a ghost subset.
+
+    Measured with the pinned-median protocol of ``benchmarks/baseline.py``
+    (taskset to core 0, median of 5 runs, raw samples cached). The cache
+    digest binds the rate to this host's CPU and the exact compiled binary,
+    so a stale or foreign cache is never reused."""
+    sys.path.insert(0, REPO)
+    from benchmarks import baseline as bl
+
+    digest = bl.cache_digest(
+        f"{K}-{SIGMA}-{OMEGA}-{NUM_GROUPS}-{S}-{BASELINE_GHOSTS}-v3")
     if os.path.exists(CACHE):
         with open(CACHE) as f:
             cached = json.load(f)
         if cached.get("digest") == digest:
             return cached["rate"]
 
-    binary = os.path.join(REPO, "native", "baseline_dcla")
-    src = os.path.join(REPO, "native", "baseline_dcla.cpp")
-    if (not os.path.exists(binary)
-            or os.path.getmtime(binary) < os.path.getmtime(src)):
-        subprocess.run(["g++", "-O3", "-march=native", "-o", binary, src],
-                       check=True)
-
     sub = P_all[:BASELINE_GHOSTS]
     eps = np.float32(np.log10((OMEGA / SIGMA) ** K))
-    header = struct.pack("<qqqqfq", sub.shape[0], S, SIGMA, K, eps, 0)
-    result = subprocess.run([binary], input=header + sub.tobytes(),
-                            capture_output=True, check=True)
-    out = json.loads(result.stdout)
-    rate = out["tuples"] / (out["ms"] / 1e3)
+    meas = bl.measure_rate(sub, K, SIGMA, eps, reps=5)
     os.makedirs(os.path.dirname(CACHE), exist_ok=True)
     with open(CACHE, "w") as f:
-        json.dump({"digest": digest, "rate": rate, "raw": out}, f)
-    return rate
+        json.dump({"digest": digest, "rate": meas["rate"], "meas": meas}, f)
+    return meas["rate"]
 
 
 def main():

@@ -26,8 +26,6 @@ Configs (BASELINE.md):
 import functools
 import json
 import os
-import struct
-import subprocess
 import sys
 import time
 
@@ -55,19 +53,12 @@ def make_P_peaked(rng, G, S, sigma, conserved=0.8):
     return np.log10(np.maximum(p, 1e-30)).astype(np.float32)
 
 
-def cpp_baseline_rate(P_sub, k, sigma, eps):
-    binary = os.path.join(REPO, "native", "baseline_dcla")
-    src = binary + ".cpp"
-    if (not os.path.exists(binary)
-            or os.path.getmtime(binary) < os.path.getmtime(src)):
-        subprocess.run(["g++", "-O3", "-march=native", "-o", binary, src],
-                       check=True)
-    header = struct.pack("<qqqqfq", P_sub.shape[0], P_sub.shape[1], sigma, k,
-                         eps, 0)
-    result = subprocess.run([binary], input=header + P_sub.tobytes(),
-                            capture_output=True, check=True)
-    out = json.loads(result.stdout)
-    return out["tuples"] / (out["ms"] / 1e3), out
+def cpp_baseline_rate(P_sub, k, sigma, eps, reps=5):
+    """Pinned-median single-core oracle rate (benchmarks/baseline.py
+    protocol: taskset core 0, median of ``reps`` runs, samples recorded)."""
+    from benchmarks import baseline as bl
+    meas = bl.measure_rate(P_sub, k, sigma, eps, reps=reps)
+    return meas["rate"], meas
 
 
 def dense_stage1(P_all, k, sigma, eps, key_batches=1, block_w=64,
@@ -203,41 +194,45 @@ def main():
         with open(out, "w") as f:
             json.dump(results, f, indent=1)
 
-    def entry(tuples, secs, rate_cpp=None):
+    def entry(tuples, secs, rate_cpp=None, meas=None):
         e = {"tuples": tuples, "seconds": secs,
              "tuples_per_sec": tuples / secs}
         if rate_cpp is not None:
             e["baseline_tuples_per_sec"] = rate_cpp
             e["speedup"] = tuples / secs / rate_cpp
+        if meas is not None:
+            e["baseline_samples"] = meas["samples"]
+            e["baseline_pinned"] = meas["pinned"]
+            e["baseline_spread"] = meas["spread"]
         return e
 
     # 1. headline: DNA k=8
     omega, k, sigma = 1.5, 8, 4
     eps = np.float32(np.log10((omega / sigma) ** k))
     P = make_P(rng, 512, 300, sigma)
-    rate_cpp, _ = cpp_baseline_rate(P[:8], k, sigma, eps)
+    rate_cpp, meas = cpp_baseline_rate(P[:8], k, sigma, eps)
     tuples, secs = dense_stage1(P, k, sigma, eps, pipeline=8)
-    record("dna_k8", entry(tuples, secs, rate_cpp))
+    record("dna_k8", entry(tuples, secs, rate_cpp, meas))
 
     # 2. DNA k=10, 150-taxon-scale (298 branches -> 596 ghosts), 1500 sites;
     #    ghost-chunked so the half tensors fit HBM
     omega, k = 1.5, 10
     eps = np.float32(np.log10((omega / sigma) ** k))
     P = make_P(rng, 596, 1500, sigma)
-    rate_cpp, _ = cpp_baseline_rate(P[:2], k, sigma, eps)
+    rate_cpp, meas = cpp_baseline_rate(P[:2], k, sigma, eps)
     tuples, secs = dense_stage1(P, k, sigma, eps, key_batches=2, block_w=64,
                                 ghost_chunk=149, pipeline=2)
-    record("dna_k10", entry(tuples, secs, rate_cpp))
+    record("dna_k10", entry(tuples, secs, rate_cpp, meas))
 
     # 3. DNA k=12: the sparse capacity-bounded path (production routing:
     #    sigma^k >= MAX_DENSE_KEYSPACE switches off the dense accumulator)
     omega, k = 2.0, 12
     eps = np.float32(np.log10((omega / sigma) ** k))
     P = make_P(rng, 64, 600, sigma)
-    rate_cpp, _ = cpp_baseline_rate(P[:2], k, sigma, eps)
+    rate_cpp, meas = cpp_baseline_rate(P[:2], k, sigma, eps)
     tuples, secs = sparse_stage1(P, k, sigma, bits=2, eps=eps, cap=8192,
                                  pipeline=2)
-    record("dna_k12", entry(tuples, secs, rate_cpp))
+    record("dna_k12", entry(tuples, secs, rate_cpp, meas))
 
     # 4a. AA k=6: capacity-bounded sparse path (the 64M keyspace fits the
     #     dense path but survivor density is low enough that the staircase
@@ -245,19 +240,19 @@ def main():
     omega, k, sigma_aa = 4.0, 6, 20
     eps = np.float32(np.log10((omega / sigma_aa) ** k))
     P = make_P(rng, 32, 200, sigma_aa)
-    rate_cpp, _ = cpp_baseline_rate(P[:4], k, sigma_aa, eps)
+    rate_cpp, meas = cpp_baseline_rate(P[:4], k, sigma_aa, eps)
     tuples, secs = sparse_stage1(P, k, sigma_aa, bits=5, eps=eps, cap=4096,
                                  pipeline=4)
-    record("aa_k6_sparse", entry(tuples, secs, rate_cpp))
+    record("aa_k6_sparse", entry(tuples, secs, rate_cpp, meas))
 
     # 4b. AA k=8 (true sparse territory: 2.6e10 keyspace), peaked posteriors
     #     as real AR output produces (flat columns -> zero survivors)
     omega, k = 8.0, 8
     eps = np.float32(np.log10((omega / sigma_aa) ** k))
     P = make_P_peaked(rng, 64, 100, sigma_aa)
-    rate_cpp, _ = cpp_baseline_rate(P[:8], k, sigma_aa, eps)
+    rate_cpp, meas = cpp_baseline_rate(P[:8], k, sigma_aa, eps)
     tuples, secs = sparse_stage1(P, k, sigma_aa, bits=5, eps=eps, cap=512)
-    record("aa_k8_sparse", entry(tuples, secs, rate_cpp))
+    record("aa_k8_sparse", entry(tuples, secs, rate_cpp, meas))
 
     # 5. thousands of branches + distributed MI (single-chip mesh on TPU,
     #    8-way on the CPU test mesh)

@@ -12,11 +12,12 @@ produced them. Select with ``--ar native``.
 
 Model: GTR + Γ(categories) with empirical base frequencies (the reference's
 ``+FC``) and unit exchangeabilities by default (JC/F81-like unless rates are
-provided). Branch lengths and model parameters are taken as given — the
-reference additionally lets raxml-ng re-optimize them (``--opt-model on
---opt-branches on``); parameter optimization is a planned extension, so
-posteriors are *not* numerically comparable to a raxml-ng run, only
-structurally.
+provided). By default branch lengths and model
+parameters are taken as given; ``--ar-optimize`` additionally re-optimizes
+them by maximum likelihood (``ipk_tpu/ar/optimize.py``), mirroring
+raxml-ng's ``--opt-model on --opt-branches on``. Either way posteriors are
+*not* numerically comparable to a raxml-ng run (different optimizer paths),
+only structurally.
 
 Computation: standard two-pass algorithm on the MXU.
 * inside pass (postorder): per-category partial likelihoods

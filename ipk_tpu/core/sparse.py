@@ -70,6 +70,12 @@ _KERNEL_MAX_CL = 4096
 _KERNEL_MAX_CR = 4096
 _KERNEL_MAX_CAP = 8192
 
+#: window-batched kernel limits: the extraction loops unroll CL + CR vector
+#: ops per output tile, so very wide lists/caps explode Mosaic compile time
+#: and VMEM; beyond these the per-window kernel takes over
+_BATCHED_MAX_LIST = 512
+_BATCHED_MAX_CAP = 4096
+
 
 # ---------------------------------------------------------------------------
 # capacity plans
@@ -331,6 +337,18 @@ def _combine(lists, span, eps_span, *, sigma: int, bits: int,
     # the staircase prefix property needs (only) the RIGHT list sorted
     # score-descending; sorting lazily here skips it for complete products
     cr, sr = _sort_desc(cr, sr)
+    if (use_kernel and CL <= _BATCHED_MAX_LIST and CR <= _BATCHED_MAX_LIST
+            and out_cap % 128 == 0 and out_cap <= _BATCHED_MAX_CAP):
+        # window-batched kernel: work scales with survivors, not capacity
+        # (the r2 per-window kernel's fixed ~2-8 us/window was the AA
+        # bottleneck — VERDICT r2 item 1)
+        from .pallas_kernels import staircase_select_batched
+        clg, crg, scores, totals = staircase_select_batched(
+            sl, cl, sr, cr, eps_span, cap=out_cap)
+        ovf = (totals > out_cap).any(axis=1)
+        codes = ((clg, crg) if top
+                 else (clg << np.uint32(shift)) | crg)
+        return codes, scores, child_ovf | ovf
     if (use_kernel and CL <= _KERNEL_MAX_CL and CR <= _KERNEL_MAX_CR
             and out_cap % 128 == 0 and out_cap <= _KERNEL_MAX_CAP):
         from .pallas_kernels import staircase_select
