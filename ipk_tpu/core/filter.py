@@ -28,10 +28,46 @@ builds with different hash maps).
 
 from __future__ import annotations
 
+import ctypes
+import os
+from typing import Optional
+
 import numpy as np
 
 __all__ = ["score_threshold", "logscore_to_score", "mif0_filter_values",
            "random_filter_values", "minstd0_uniform_stream", "sort_order"]
+
+_NATIVE_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native",
+    "libmif0_filter.so")
+_native_lib = None
+
+
+def _load_native() -> Optional[ctypes.CDLL]:
+    """Threaded C++ mif0 (native/mif0_filter.cpp, bit-equal to the numpy
+    path — tests/test_filter.py); numpy fallback when not built."""
+    global _native_lib
+    if _native_lib is not None:
+        return _native_lib
+    if not os.path.exists(_NATIVE_PATH) or os.environ.get("IPK_TPU_NO_NATIVE"):
+        return None
+    lib = ctypes.CDLL(_NATIVE_PATH)
+    lib.ipk_mif0_entries.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int32]
+    try:
+        lib.ipk_range_gather_apply.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int32]
+    except AttributeError:     # stale .so without the symbol
+        pass
+    _native_lib = lib
+    return lib
 
 
 def score_threshold(omega: float, sigma: int, k: int) -> float:
@@ -71,17 +107,57 @@ def mif0_filter_values(scores: np.ndarray, mask: np.ndarray,
 
 
 def mif0_filter_values_entries(entry_scores: np.ndarray,
-                               entry_key_index: np.ndarray,
+                               entry_key_index: Optional[np.ndarray],
                                num_keys: int,
                                total_num_groups: int,
-                               threshold: float) -> np.ndarray:
+                               threshold: float,
+                               offsets: Optional[np.ndarray] = None
+                               ) -> np.ndarray:
     """mif0 over a compacted entry list (for the sparse/large-k path).
 
     entry_scores: [E] f32 log10; entry_key_index: [E] int — index of the key
     each entry belongs to; returns fv[num_keys] float64.
+
+    When ``entry_key_index`` is non-decreasing (every production call site:
+    extraction emits entries key-major) the threaded C++ implementation
+    (``native/mif0_filter.cpp``) is used — same accumulation order as the
+    numpy expression below; values agree to ~2 ulp (numpy's SIMD pow/log2
+    round differently from libm in the last bit; the DB's f32 filter column
+    absorbs it — committed goldens are byte-identical either way, and
+    tests/test_filter.py bounds the error). The reference's filter loop is
+    sequential (``filter.cpp:66-116``); this threaded pass is one of the
+    places the rebuild buys back host wall time (~25x measured at 8M
+    entries).
     """
     N = np.float64(total_num_groups)
     thr = np.float64(threshold)
+    lib = _load_native()
+    if lib is not None and num_keys > 0:
+        if offsets is None:
+            entry_key_index = np.asarray(entry_key_index)
+            counts = np.bincount(entry_key_index, minlength=num_keys)
+            # grouped layout is valid only if indices are non-decreasing
+            if (len(counts) == num_keys
+                    and (np.diff(entry_key_index) >= 0).all()):
+                offsets = np.zeros(num_keys + 1, dtype=np.int64)
+                np.cumsum(counts, out=offsets[1:])
+        if offsets is not None:
+            offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+            scores32 = np.ascontiguousarray(entry_scores, dtype=np.float32)
+            fv = np.empty(num_keys, dtype=np.float64)
+            nthreads = int(os.environ.get("IPK_TPU_FILTER_THREADS",
+                                          min(os.cpu_count() or 1, 16)))
+            lib.ipk_mif0_entries(
+                scores32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                np.int64(num_keys), float(N), float(thr),
+                fv.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                np.int32(nthreads))
+            return fv
+    if entry_key_index is None:
+        # numpy fallback from a grouped layout: expand the offsets
+        entry_key_index = np.repeat(np.arange(num_keys, dtype=np.int64),
+                                    np.diff(offsets))
     lin = logscore_to_score(entry_scores)
     cnt = np.bincount(entry_key_index, minlength=num_keys).astype(np.float64)
     ssum = np.bincount(entry_key_index, weights=lin, minlength=num_keys)

@@ -446,9 +446,12 @@ def _sharded_pairs_fn(mesh, k: int, sigma: int, bits: int, caps_t: tuple,
             P_loc, prefix_loc, log_threshold, k=k, sigma=sigma, bits=bits,
             caps_t=caps_t, use_kernel=use_kernel)
 
+    from jax.sharding import NamedSharding
+    # multi-host: replicate outputs so the host extraction can fetch them
+    out_sh = NamedSharding(mesh, PS()) if jax.process_count() > 1 else None
     return jax.jit(jax.shard_map(
         local, mesh=mesh, in_specs=(PS("branch"), PS("branch"), PS()),
-        out_specs=PS("branch")))
+        out_specs=PS("branch")), out_shardings=out_sh)
 
 
 def _prepare_batch(P_all, prefix_all, use_kernel, mesh):
