@@ -127,12 +127,21 @@ def sparse_stage1(P_all, k, sigma, bits, eps, cap, pipeline=8):
     caps = sparse_mod.probe_caps(P_all, prefix_all, eps, k=k, sigma=sigma,
                                  cap=cap)
 
-    # one warm resolved pass settles the caps (and compiles)
+    # one warm resolved pass settles the caps (and compiles); keep the
+    # ADAPTED caps — the timed passes must dispatch with them or every
+    # resolve would demand a re-dispatch
     P_dev = jax.device_put(P_all)
     pre_dev = jax.device_put(prefix_all)
-    _, _, s, ovf = sparse_mod.enumerate_pairs_device(
-        P_dev, pre_dev, np.float32(eps), k=k, sigma=sigma, bits=bits,
-        cap=cap, caps=caps)
+    caps = sparse_mod.normalize_caps(caps, k, sigma, cap)
+    while True:
+        pend = sparse_mod.enumerate_pairs_deferred(
+            P_dev, pre_dev, np.float32(eps), k=k, sigma=sigma, bits=bits,
+            caps=caps)
+        done, result, caps = sparse_mod.resolve_deferred(
+            pend, k=k, sigma=sigma, cap=cap, caps=caps)
+        if done:
+            break
+    _, _, s, ovf = result
     assert not np.asarray(ovf).any(), \
         "benchmark workload overflowed the survivor cap"
     tuples = int(np.asarray(jnp.isfinite(s).sum()))

@@ -251,6 +251,7 @@ def _enumerate_sparse_branches(P_all: np.ndarray, prefix_all: np.ndarray, *,
     G = P_all.shape[0]
     per_branch = []
     explored = 0
+    stats: Dict = {}
     caps = sparse_mod.probe_caps(P_all, prefix_all, eps, k=k, sigma=sigma,
                                  cap=cap)
     # ghosts are batched (vmapped) so each window block costs one device
@@ -264,7 +265,7 @@ def _enumerate_sparse_branches(P_all: np.ndarray, prefix_all: np.ndarray, *,
         i1 = (b0 + nb) * ghosts_per_group
         codes, scores, overflow = sparse_mod.enumerate_sparse_many(
             P_all[i0:i1], prefix_all[i0:i1], eps, k=k, sigma=sigma,
-            bits=bits, cap=cap, caps=caps, mesh=mesh)
+            bits=bits, cap=cap, caps=caps, mesh=mesh, stats=stats)
         if overflow.any():
             raise RuntimeError(
                 f"Survivor-list capacity {cap} exceeded (ghost rows "
@@ -278,7 +279,76 @@ def _enumerate_sparse_branches(P_all: np.ndarray, prefix_all: np.ndarray, *,
                 scores[g0:g0 + ghosts_per_group])
             per_branch.append((merged_c, merged_s))
         bar.step()
+    if verbose > 0:
+        # probe-miss telemetry (VERDICT r2 item 8): how often a span cap
+        # doubled mid-build (forcing a chunk re-dispatch) and where the
+        # capacities settled
+        redisp = stats.get("redispatches", 0)
+        caps_str = ", ".join(f"{s}:{c}" for s, c in
+                             sorted(stats.get("final_caps", {}).items()))
+        print(f"Sparse telemetry: {redisp} chunk re-dispatch(es) "
+              f"(probe misses); settled caps {{{caps_str}}}")
     return per_branch, explored
+
+
+#: working-set ceiling for the single-dispatch device key merge; above this
+#: the chunked host merge takes over (same budget the sparse chunker uses)
+_DEVICE_MERGE_BUDGET_BYTES = 4 << 30
+
+
+def _sparse_device_merge(P_all, prefix_all, *, k: int, sigma: int, bits: int,
+                         eps, ghosts_per_group: int, cap: int, mesh,
+                         verbose: int = 0):
+    """Stage 1 + stage 2 merge entirely on device (VERDICT r2 item 3):
+    enumerate all ghosts in one sharded dispatch, then run the cross-shard
+    key merge (sort → segment-max → all-to-all by key range) of
+    ``parallel.key_merge``. Returns ((keys, border, scores), explored) — a
+    (key, group)-sorted entry stream — or (None, reason) when the workload
+    doesn't fit the single-dispatch budget or a bucket overflows (callers
+    fall back to the chunked host merge)."""
+    from .parallel.key_merge import KeyMergeOverflow, device_key_merge
+    from .parallel.build_sharded import pad_ghosts
+    caps = sparse_mod.probe_caps(P_all, prefix_all, eps, k=k, sigma=sigma,
+                                 cap=cap)
+    # GROUP-ALIGNED padding: each device must hold whole ghost groups for
+    # the merge's group indexing (the enumeration alone is happy with any
+    # split — _prepare_batch pads to n_dev only)
+    P_all, prefix_all, _ = pad_ghosts(
+        np.asarray(P_all, np.float32), np.asarray(prefix_all, np.float32),
+        mesh.shape["branch"] * ghosts_per_group)
+    G, S = P_all.shape[0], P_all.shape[1]
+    W = S - k + 1
+    top_cap = min(cap, max(list(caps.values()) + [128]))
+    if G * W * top_cap * 48 > _DEVICE_MERGE_BUDGET_BYTES:
+        return None, "working set exceeds the single-dispatch budget"
+    while True:
+        pend = sparse_mod.enumerate_pairs_deferred(
+            P_all, prefix_all, np.float32(eps), k=k, sigma=sigma, bits=bits,
+            caps=caps, mesh=mesh)
+        done, result, caps = sparse_mod.resolve_deferred(
+            pend, k=k, sigma=sigma, cap=cap, caps=caps)
+        if done:
+            break
+    if result[3].any():
+        raise RuntimeError(
+            f"Survivor-list capacity {cap} exceeded. Increase "
+            "--max-candidates or raise --omega.")
+    # the PADDED per-window lists stay on device; padding ghosts are all
+    # -inf and contribute no tuples
+    cl_full, cr_full, scores_full = pend[1][0], pend[1][1], pend[1][2]
+    import jax.numpy as jnp
+    explored = int(np.asarray(jnp.isfinite(scores_full).sum()))
+    try:
+        keys, border, scores = device_key_merge(
+            mesh, cl_full, cr_full, scores_full,
+            ghosts_per_group=ghosts_per_group, nl=sigma ** (k // 2),
+            bits=bits, k=k)
+    except KeyMergeOverflow as e:
+        return None, str(e)
+    if verbose > 0:
+        print(f"Device key merge: {len(keys)} entries "
+              f"({mesh.shape['branch']} shards, all-to-all by key range)")
+    return (keys, border, scores), explored
 
 
 def _extract_from_lists(per_branch, group_ids, total_num_groups: int,
@@ -299,7 +369,19 @@ def _extract_from_lists(per_branch, group_ids, total_num_groups: int,
     order = np.lexsort((all_border, all_keys))  # key-major, group order
     all_keys, all_scores, all_border = (all_keys[order], all_scores[order],
                                         all_border[order])
+    return _extract_sorted_stream(all_keys, all_border, all_scores,
+                                  group_ids, total_num_groups, threshold,
+                                  filter_type, rng_stream, merge_branches)
 
+
+def _extract_sorted_stream(all_keys, all_border, all_scores, group_ids,
+                           total_num_groups: int, threshold: float,
+                           filter_type: str,
+                           rng_stream: Optional[RandomFilterStream],
+                           merge_branches: bool):
+    """(key, group)-sorted entry stream (per-pair max scores) → unsorted DB
+    arrays. Shared tail of the host lexsort path and the device key merge
+    (``parallel.key_merge``), which produces this stream directly."""
     if merge_branches:
         # keep only the best-scoring entry per key (earliest group on ties)
         sub = np.lexsort((all_border, -all_scores.astype(np.float64),
@@ -592,14 +674,34 @@ def build(original_tree: PhyloTree,
         fv_override = np.asarray(fv_dev)
         batches = iter([("dense", 0, np.asarray(A_dev)[:B0], None, count)])
     elif use_sparse:
-        per_branch, num_explored = _enumerate_sparse_branches(
-            P_all, prefix_all, k=kmer_size, sigma=sigma,
-            bits=traits.bits_per_symbol, eps=eps,
-            ghosts_per_group=ghosts_per_group, cap=sparse_cap, mesh=mesh,
-            verbose=verbose)
-        sparse_part = _extract_from_lists(
-            per_branch, group_ids, original_tree.get_node_count(), threshold,
-            filter_type, rng_stream, merge_branches)
+        stream = None
+        if mesh is not None and os.environ.get(
+                "IPK_TPU_NO_DEVICE_MERGE") != "1":
+            # stage-2 merge on device (sort → segment-max → all-to-all by
+            # key range over the mesh); byte-equal to the host merge
+            stream, info = _sparse_device_merge(
+                P_all, prefix_all, k=kmer_size, sigma=sigma,
+                bits=traits.bits_per_symbol, eps=eps,
+                ghosts_per_group=ghosts_per_group, cap=sparse_cap,
+                mesh=mesh, verbose=verbose)
+            if stream is None and verbose > 0:
+                print(f"Note: device key merge fell back to the host merge "
+                      f"({info}).")
+        if stream is not None:
+            (keys_s, border_s, scores_s), num_explored = stream, info
+            sparse_part = _extract_sorted_stream(
+                keys_s, border_s, scores_s, group_ids,
+                original_tree.get_node_count(), threshold, filter_type,
+                rng_stream, merge_branches)
+        else:
+            per_branch, num_explored = _enumerate_sparse_branches(
+                P_all, prefix_all, k=kmer_size, sigma=sigma,
+                bits=traits.bits_per_symbol, eps=eps,
+                ghosts_per_group=ghosts_per_group, cap=sparse_cap, mesh=mesh,
+                verbose=verbose)
+            sparse_part = _extract_from_lists(
+                per_branch, group_ids, original_tree.get_node_count(),
+                threshold, filter_type, rng_stream, merge_branches)
         batches = iter(())
     else:
         batches = _enumerate_batches(

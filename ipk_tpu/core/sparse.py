@@ -567,7 +567,8 @@ def enumerate_sparse_many(P_all, prefix_all, log_threshold, *, k: int,
                           use_kernel: Optional[bool] = None,
                           probe: bool = True, mesh=None,
                           window_block: int | None = None,
-                          combine_budget_bytes: int = 4 << 30):
+                          combine_budget_bytes: int = 4 << 30,
+                          stats: Optional[Dict] = None):
     """Ghost-batched sparse enumeration (host-facing).
 
     P_all: [G, S, sigma], prefix_all: [G, S+1]. Returns
@@ -576,6 +577,10 @@ def enumerate_sparse_many(P_all, prefix_all, log_threshold, *, k: int,
     The device does everything in one dispatch per ghost chunk (chunk size
     bounded so working-set HBM stays within ``combine_budget_bytes``); the
     host only packs the returned uint32 pairs into uint64 keys.
+
+    ``stats`` (optional dict) accumulates telemetry: "redispatches" (chunks
+    re-run because a span capacity doubled — probe misses) and "final_caps"
+    (the settled per-span capacities).
     """
     P_all = np.asarray(P_all, dtype=np.float32)
     prefix_all = np.asarray(prefix_all, dtype=np.float32)
@@ -612,6 +617,8 @@ def enumerate_sparse_many(P_all, prefix_all, log_threshold, *, k: int,
                                                   cap=cap, caps=caps)
             if done:
                 break
+            if stats is not None:
+                stats["redispatches"] = stats.get("redispatches", 0) + 1
             pend = enumerate_pairs_deferred(
                 P_all[g0:g1], prefix_all[g0:g1], np.float32(log_threshold),
                 k=k, sigma=sigma, bits=bits, caps=caps,
@@ -620,6 +627,8 @@ def enumerate_sparse_many(P_all, prefix_all, log_threshold, *, k: int,
         out_c.append(_pack_host(cl, cr, k=k, bits=bits))
         out_s.append(np.asarray(scores, dtype=np.float32))
         overflow[g0:g1] = ovf
+    if stats is not None:
+        stats["final_caps"] = dict(caps)
     if len(out_c) > 1:
         # chunks may have adapted to different capacities: pad to the widest
         Cmax = max(c.shape[2] for c in out_c)

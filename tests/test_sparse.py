@@ -130,3 +130,41 @@ def test_enumerate_sparse_many_matches_per_ghost():
             got = {(int(c), float(s)) for c, s in
                    zip(codes_b[g, w], scores_b[g, w]) if np.isfinite(s)}
             assert got == ref
+
+
+def test_skewed_hot_window_bounded_redispatch():
+    """One hot window the probe never samples: capacity adaptation must
+    re-dispatch a bounded number of times (per-span doublings), not once
+    per chunk x span, and the result must stay overflow-free (VERDICT r2
+    item 8 telemetry contract)."""
+    from ipk_tpu.core import dense as dense_mod
+    from ipk_tpu.core.sparse import enumerate_sparse_many, probe_caps, _spans
+
+    k, sigma, bits, cap = 6, 4, 2, 4096
+    G, S = 4, 200
+    # near-one-hot background: ~1 survivor per window
+    P = np.full((G, S, sigma), np.log10(0.01), np.float32)
+    P[:, :, 0] = np.log10(np.float32(0.97))
+    # hot run on ghost 3 at sites 40..47 (windows ~33-47; the probe samples
+    # windows [0, 17, 34, 52, ...] — none fully inside the hot run)
+    P[3, 40:48, :] = np.log10(np.float32(0.005))
+    P[3, 40:48, 0] = np.log10(np.float32(0.33))
+    P[3, 40:48, 1] = np.log10(np.float32(0.33))
+    P[3, 40:48, 2] = np.log10(np.float32(0.33))
+    prefix = dense_mod.best_score_prefix(P)
+    eps = np.float32(np.log10((1.0 / sigma) ** k))
+
+    caps = probe_caps(P, prefix, eps, k=k, sigma=sigma, cap=cap)
+    stats = {}
+    codes, scores, ovf = enumerate_sparse_many(
+        P, prefix, eps, k=k, sigma=sigma, bits=bits, cap=cap, caps=caps,
+        stats=stats)
+    assert not ovf.any()
+    # the fully-hot windows have 3^6 = 729 survivors
+    counts = np.isfinite(scores).sum(axis=2)
+    assert counts[3].max() >= 729
+    # each span can double from its probe cap to the ceiling at most
+    # log2(cap/128) times; re-dispatches are bounded by the total doublings
+    import math
+    bound = len(_spans(k)) * (int(math.log2(cap // 128)) + 1)
+    assert 1 <= stats.get("redispatches", 0) <= bound, stats
