@@ -274,8 +274,14 @@ def main():
     # 6. placement serving throughput
     record("placement_serving", placement_bench(rng))
 
-    # 7. full DB-build wall time vs C++ stage-1 on identical inputs
+    # 7. full DB-build wall time vs C++ stage-1 on identical inputs, at the
+    #    CI-test scale and at production scale (512 taxa x 1500 sites —
+    #    the crossover where device throughput dominates end-to-end wall
+    #    time; VERDICT r2 item 2)
     record("full_build_dna_k8", full_build_bench())
+    if os.environ.get("IPK_TPU_BENCH_SKIP_AT_SCALE") != "1":
+        record("full_build_at_scale",
+               full_build_bench(num_leaves=256, width=1500, reps=1))
 
     # 8. Mosaic-kernel vs XLA-fallback equality evidence on real hardware
     record("kernel_parity", kernel_parity_check())
@@ -341,13 +347,14 @@ def kernel_parity_check():
     return out
 
 
-def full_build_bench(num_leaves=64, width=400, k=8, omega=1.5):
+def full_build_bench(num_leaves=64, width=400, k=8, omega=1.5, reps=5):
     """BASELINE.md row 2: end-to-end ``build()`` wall time (AR replayed) vs
     the single-core C++ clean-room DCLA doing enumeration + insert-or-max
     merge on the identical ghost tensor. The C++ side covers the reference's
     stage-1 "Computation time" (``db_builder.cpp:230-237``, its dominant
     stage); our side includes everything: IO, enumeration, extraction,
-    filtering and serialization.
+    filtering and serialization. ``reps``: oracle repetitions (the at-scale
+    config uses fewer — a single oracle pass runs minutes there).
     """
     import pathlib
     import sys
@@ -389,12 +396,14 @@ def full_build_bench(num_leaves=64, width=400, k=8, omega=1.5):
             gather_ghost_tensor(groups, ar_mapping, label_rows, P),
             dtype=np.float32)
         eps = np.float32(np.log10((omega / 4) ** k))
-        _, raw = cpp_baseline_rate(P_all, k, 4, eps)
+        _, meas = cpp_baseline_rate(P_all, k, 4, eps, reps=reps)
+        cpp_secs = meas["tuples"] / meas["rate"]   # median-rate stage-1 time
         return {"seconds": secs,
                 "num_explored": result.num_explored,
-                "cpp_stage1_seconds": raw["ms"] / 1e3,
-                "cpp_tuples": raw["tuples"],
-                "speedup": (raw["ms"] / 1e3) / secs,
+                "cpp_stage1_seconds": cpp_secs,
+                "cpp_tuples": meas["tuples"],
+                "cpp_samples": meas["samples"],
+                "speedup": cpp_secs / secs,
                 "note": ("full build incl. IO/filter/serialize vs C++ "
                          "stage-1 (enumeration+merge) on identical inputs")}
 

@@ -65,6 +65,19 @@ class PhyloKmerDB:
         self._row_by_key = None
         assert len(self.offsets) == len(self.keys) + 1
 
+    def set_data_mapped(self, keys, filter_values, offsets, branches, scores,
+                        positions=None) -> None:
+        """Adopt column views without copying (``serialize.load(mmap=True)``
+        hands np.memmap columns so DBs larger than RAM can be served)."""
+        self.keys = keys
+        self.filter_values = filter_values
+        self.offsets = offsets
+        self.branches = branches
+        self.scores = scores
+        self.positions = positions
+        self._row_by_key = None
+        assert len(self.offsets) == len(self.keys) + 1
+
     # -- queries ------------------------------------------------------------
     def size(self) -> int:
         """Number of distinct k-mers (``phylo_kmer_db::size``)."""

@@ -211,7 +211,19 @@ def _decompress(raw: bytes) -> bytes:
         return raw
 
 
-def load(filename: str) -> PhyloKmerDB:
+def load(filename: str, mmap: bool = False) -> PhyloKmerDB:
+    """Load a database. With ``mmap=True`` the five column arrays are
+    ``np.memmap`` views over the file — columns page in on demand, so DBs
+    larger than RAM serve reads (dump, placement) without materializing
+    (the ``batch_loader`` lazy-cursor idea, ``db_builder.cpp:392-458``,
+    generalized to the whole container). Compressed files cannot be mapped:
+    they fall back to a full in-RAM load (use ``--uncompressed`` builds for
+    out-of-core serving).
+    """
+    if mmap:
+        db = _load_mapped(filename)
+        if db is not None:
+            return db
     with open(filename, "rb") as f:
         data = _decompress(f.read())
     r = _Reader(data)
@@ -246,6 +258,47 @@ def load(filename: str) -> PhyloKmerDB:
         raise RuntimeError(f"Corrupt .ipk: {offsets[-1]} entries indexed, "
                            f"{num_entries} declared")
     db.set_data(keys, fvs, offsets, branches, scores, positions)
+    return db
+
+
+def _load_mapped(filename: str) -> Optional[PhyloKmerDB]:
+    """memmap-backed load for uncompressed files; None when compressed."""
+    with open(filename, "rb") as f:
+        if f.read(len(_MAGIC)) != _MAGIC:
+            return None                     # compressed (or foreign) file
+        r = _StreamReader(f)
+        version = r.u32()
+        sequence_type = r.string()
+        n_index = r.u64()
+        tree_index = [(r.u64(), r.f64()) for _ in range(n_index)]
+        tree = r.string()
+        kmer_size = r.u64()
+        omega = r.f32()
+        has_positions = bool(r.u8())
+        num_kmers = r.u64()
+        num_entries = r.u64()
+        base = f.tell()
+    db = PhyloKmerDB(kmer_size, omega, sequence_type, tree, tree_index,
+                     version)
+    K, E = num_kmers, num_entries
+
+    def col(dtype, n, off):
+        return np.memmap(filename, dtype=np.dtype(dtype), mode="r",
+                         offset=off, shape=(n,))
+
+    keys = col("<u8", K, base)
+    fvs = col("<f4", K, base + 8 * K)
+    counts = col("<u8", K, base + 12 * K)
+    branches = col("<u4", E, base + 20 * K)
+    scores = col("<f4", E, base + 20 * K + 4 * E)
+    positions = (col("<u4", E, base + 20 * K + 8 * E)
+                 if has_positions else None)
+    offsets = np.zeros(K + 1, dtype=np.int64)
+    np.cumsum(counts.astype(np.int64), out=offsets[1:])
+    if offsets[-1] != num_entries:
+        raise RuntimeError(f"Corrupt .ipk: {offsets[-1]} entries indexed, "
+                           f"{num_entries} declared")
+    db.set_data_mapped(keys, fvs, offsets, branches, scores, positions)
     return db
 
 

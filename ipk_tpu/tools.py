@@ -30,9 +30,10 @@ def diff_databases(file1: str, file2: str, verbose: bool = False,
                    eps: float = 0.0) -> bool:
     """Field checks + bidirectional per-(kmer, branch) score comparison
     (``diff.cpp:24-295``), with exact comparison by default (stricter than the
-    reference's EPS=1e-2, per BASELINE.md)."""
-    a = serialize.load(file1)
-    b = serialize.load(file2)
+    reference's EPS=1e-2, per BASELINE.md). Uncompressed inputs are
+    memory-mapped: columns page in on demand."""
+    a = serialize.load(file1, mmap=True)
+    b = serialize.load(file2, mmap=True)
 
     ok = True
     ok &= _report("Sequence type", a.sequence_type == b.sequence_type,
@@ -56,27 +57,7 @@ def diff_databases(file1: str, file2: str, verbose: bool = False,
     ok &= _report("Number of phylo-k-mers", a.num_entries() == b.num_entries(),
                   a.num_entries(), b.num_entries())
 
-    diffs = []
-    b_map = {key: dict((e[0], e[1]) for e in entries) for key, entries in b}
-    for key, entries in a:
-        eb = b_map.get(key)
-        ea = dict((e[0], e[1]) for e in entries)
-        if eb is None:
-            diffs.extend((key, br, s, float("nan")) for br, s in ea.items())
-            continue
-        for br, s in ea.items():
-            if br not in eb:
-                diffs.append((key, br, s, float("nan")))
-            elif not (abs(float(s) - float(eb[br])) <= eps):
-                diffs.append((key, br, s, eb[br]))
-        for br, s in eb.items():
-            if br not in ea:
-                diffs.append((key, br, float("nan"), s))
-    a_keys = set(int(k) for k in a.keys)
-    for key, entries in b:
-        if key not in a_keys:
-            diffs.extend((key, e[0], float("nan"), e[1]) for e in entries)
-
+    diffs = _score_diffs(a, b, eps)
     ok &= _report("Phylo-k-mer scores", not diffs, len(diffs), "")
     if verbose and diffs:
         print("\t\tcode\tk-mer\tbranch\tA score\tB score")
@@ -86,6 +67,50 @@ def diff_databases(file1: str, file2: str, verbose: bool = False,
                   f"{10 ** sa if not math.isnan(sa) else '-'}\t"
                   f"{10 ** sb if not math.isnan(sb) else '-'}")
     return bool(ok)
+
+
+def _score_diffs(a, b, eps: float):
+    """Vectorized per-(kmer, branch) comparison: expand each DB to parallel
+    (key, branch, score) streams sorted by (key, branch), then merge-compare.
+    Replaces r2's python dict-of-dicts walk (O(E) small objects — the thing
+    that fell over first on large DBs)."""
+    def stream(db):
+        counts = np.diff(db.offsets)
+        rk = np.repeat(np.asarray(db.keys, dtype=np.uint64), counts)
+        br = np.asarray(db.branches)
+        sc = np.asarray(db.scores, dtype=np.float32)
+        order = np.lexsort((br, rk))
+        return rk[order], br[order], sc[order]
+
+    ka, ba, sa = stream(a)
+    kb, bb, sb = stream(b)
+    # composite (key, branch) match via searchsorted on structured arrays
+    da = np.empty(len(ka), dtype=[("k", "<u8"), ("b", "<u4")])
+    da["k"], da["b"] = ka, ba
+    db_ = np.empty(len(kb), dtype=[("k", "<u8"), ("b", "<u4")])
+    db_["k"], db_["b"] = kb, bb
+    ia = np.searchsorted(db_, da)
+    ia_c = np.minimum(ia, len(db_) - 1) if len(db_) else np.zeros(0, int)
+    a_in_b = (len(db_) > 0) & (ia < len(db_))
+    a_in_b = a_in_b & (db_[ia_c] == da) if len(db_) else np.zeros(len(da), bool)
+    ib = np.searchsorted(da, db_)
+    ib_c = np.minimum(ib, len(da) - 1) if len(da) else np.zeros(0, int)
+    b_in_a = (len(da) > 0) & (ib < len(da))
+    b_in_a = b_in_a & (da[ib_c] == db_) if len(da) else np.zeros(len(db_), bool)
+
+    diffs = []
+    for i in np.flatnonzero(~a_in_b):
+        diffs.append((int(ka[i]), int(ba[i]), float(sa[i]), float("nan")))
+    for j in np.flatnonzero(~b_in_a):
+        diffs.append((int(kb[j]), int(bb[j]), float("nan"), float(sb[j])))
+    both = np.flatnonzero(a_in_b)
+    if len(both):
+        sb_m = sb[ia[both]]
+        bad = ~(np.abs(sa[both].astype(np.float64)
+                       - sb_m.astype(np.float64)) <= eps)
+        for i, s2 in zip(both[bad], sb_m[bad]):
+            diffs.append((int(ka[i]), int(ba[i]), float(sa[i]), float(s2)))
+    return diffs
 
 
 def diff_plain_text(file1: str, file2: str, eps: float = 1e-3,
@@ -137,13 +162,40 @@ def diff_plain_text(file1: str, file2: str, eps: float = 1e-3,
 def dump_database(filename: str, out: TextIO) -> None:
     """Reference ipkdump format (``dump.cpp:18-33``): the k-mer decoded to
     text, then per entry "\\t<10^score>\\t<node preorder id>" resolved through
-    the DB-embedded newick tree."""
-    db = serialize.load(filename)
-    tree = parse_newick(db.tree)
-    traits = get_traits(db.sequence_type)
-    for key, entries in db:
-        out.write(decode_kmer(key, db.kmer_size, traits) + "\n")
-        for entry in entries:
-            branch, score = entry[0], entry[1]
-            node = tree.get_by_postorder_id(branch)
-            out.write(f"\t{10 ** score:g}\t{node.preorder_id}\n")
+    the DB-embedded newick tree.
+
+    Uncompressed databases stream through a :class:`serialize.BatchLoader`
+    in bounded blocks (resident memory independent of DB size — the lazy
+    cursor contract of ``i2l::batch_loader``); compressed ones load fully.
+    """
+    try:
+        loader = serialize.BatchLoader(filename)
+    except RuntimeError:
+        loader = None                       # compressed: full load
+    if loader is None:
+        db = serialize.load(filename)
+        tree = parse_newick(db.tree)
+        traits = get_traits(db.sequence_type)
+        _dump_rows(out, tree, traits, db.kmer_size, db.keys,
+                   np.diff(db.offsets), db.branches, db.scores)
+        return
+    tree = parse_newick(loader.tree)
+    traits = get_traits(loader.sequence_type)
+    try:
+        while (block := loader.read_block()) is not None:
+            keys, _, counts, branches, scores, _ = block
+            _dump_rows(out, tree, traits, loader.kmer_size, keys, counts,
+                       branches, scores)
+    finally:
+        loader.close()
+
+
+def _dump_rows(out: TextIO, tree, traits, kmer_size, keys, counts, branches,
+               scores) -> None:
+    e = 0
+    for row, key in enumerate(keys):
+        out.write(decode_kmer(int(key), kmer_size, traits) + "\n")
+        for _ in range(int(counts[row])):
+            node = tree.get_by_postorder_id(int(branches[e]))
+            out.write(f"\t{10 ** float(scores[e]):g}\t{node.preorder_id}\n")
+            e += 1

@@ -125,3 +125,38 @@ def test_engines_agree(tmp_path):
         np.testing.assert_allclose([p[1] for p in a["p"]],
                                    [p[1] for p in b["p"]], rtol=1e-5,
                                    atol=1e-4)
+
+
+def test_placement_identical_single_vs_multidevice(tmp_path, monkeypatch):
+    """BASELINE.json config 5: a DB built over the 8-device mesh (device
+    key merge included on the sparse path) must place queries identically
+    to the single-device build — asserted at the jplace level."""
+    import ipk_tpu.builder as bm
+    from ipk_tpu.placement import write_jplace
+
+    tree_file, fasta_file, ar_dir = make_project(tmp_path, num_leaves=6,
+                                                 width=30, seed=33)
+    monkeypatch.setattr(bm, "MAX_DENSE_KEYSPACE", 1)   # force sparse
+
+    def build(name, no_shard):
+        out = str(tmp_path / f"{name}.ipk")
+        if no_shard:
+            monkeypatch.setenv("IPK_TPU_NO_SHARD", "1")
+        else:
+            monkeypatch.delenv("IPK_TPU_NO_SHARD", raising=False)
+        build_database(BuildParams(
+            refalign=fasta_file, reftree=tree_file, states="nucl",
+            working_dir=str(tmp_path / f"wd_{name}"), ar_dir=ar_dir,
+            kmer_size=5, omega=1.5, output_filename=out, verbosity=0))
+        return out
+
+    queries = [("q1", "ACGTACGTACGTACG"), ("q2", "GGGTTTACACAT")]
+    outputs = []
+    for name, no_shard in (("one", True), ("mesh", False)):
+        db = serialize.load(build(name, no_shard))
+        placements = place_queries(db, queries)
+        path = str(tmp_path / f"{name}.jplace")
+        write_jplace(db, placements, path)
+        with open(path) as f:
+            outputs.append(f.read())
+    assert outputs[0] == outputs[1]
