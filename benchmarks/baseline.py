@@ -73,25 +73,44 @@ def run_oracle(P_sub, k: int, sigma: int, eps, *, pin: bool = True) -> dict:
     return json.loads(result.stdout)
 
 
+#: recorded sample spread above this bound triggers a re-measure (shared-CPU
+#: interference); persistently noisier measurements are recorded with
+#: ``spread_ok: false`` so the artifact flags itself (VERDICT r3 item 8)
+MAX_SPREAD = 0.25
+
+
 def measure_rate(P_sub, k: int, sigma: int, eps, *, reps: int = 5,
-                 pin: bool = True) -> dict:
+                 pin: bool = True, max_spread: float = MAX_SPREAD,
+                 max_rounds: int = 3) -> dict:
     """Median single-core tuples/s over ``reps`` pinned runs.
 
+    Protocol (VERDICT r3 item 8): one WARM-UP run is executed and discarded
+    (page cache / frequency ramp), then ``reps`` timed runs; if the relative
+    spread (max-min)/median exceeds ``max_spread`` the whole measurement is
+    repeated up to ``max_rounds`` times and the tightest round wins.
+
     Returns {"rate": median, "samples": [rates...], "tuples": n,
-    "pinned": bool, "host": fingerprint}. The relative spread of the samples
-    quantifies the run-to-run noise band for this measurement (replacing
-    BASELINE.md r2's unquantified "±2x" caveat).
+    "pinned": bool, "host": fingerprint, "spread": rel, "spread_ok": bool}.
     """
-    samples = []
-    raw = None
-    for _ in range(reps):
-        raw = run_oracle(P_sub, k, sigma, eps, pin=pin)
-        samples.append(raw["tuples"] / (raw["ms"] / 1e3))
-    rate = statistics.median(samples)
-    spread = (max(samples) - min(samples)) / rate if rate else 0.0
-    return {"rate": rate, "samples": samples, "tuples": raw["tuples"],
-            "raw": raw, "pinned": bool(_pin_prefix()) and pin,
-            "host": host_fingerprint(), "spread": spread}
+    best = None
+    run_oracle(P_sub, k, sigma, eps, pin=pin)   # warm-up, discarded
+    for _ in range(max_rounds):
+        samples = []
+        raw = None
+        for _ in range(reps):
+            raw = run_oracle(P_sub, k, sigma, eps, pin=pin)
+            samples.append(raw["tuples"] / (raw["ms"] / 1e3))
+        rate = statistics.median(samples)
+        spread = (max(samples) - min(samples)) / rate if rate else 0.0
+        meas = {"rate": rate, "samples": samples, "tuples": raw["tuples"],
+                "raw": raw, "pinned": bool(_pin_prefix()) and pin,
+                "host": host_fingerprint(), "spread": spread,
+                "spread_ok": spread <= max_spread}
+        if best is None or spread < best["spread"]:
+            best = meas
+        if spread <= max_spread:
+            return meas
+    return best
 
 
 def cache_digest(workload_digest: str) -> str:

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ipk_tpu.core import dense, sparse as sparse_mod
-from ipk_tpu.core.pallas_kernels import staircase_select
+from ipk_tpu.core.pallas_kernels import staircase_select_wide
 from benchmarks.suite import make_P, make_P_peaked
 
 
@@ -109,7 +109,8 @@ def profile_config(name, P_all, k, sigma, bits, eps, cap):
         epsw = jnp.asarray(rng.uniform(-8, -7, (G, W)).astype(np.float32))
 
         def kern(sL=sL, cL=cL, sR=sR, cR=cR, epsw=epsw, out_cap=out_cap):
-            return staircase_select(sL, cL, sR, cR, epsw, cap=out_cap)[2]
+            return staircase_select_wide(sL, cL, sR, cR, epsw,
+                                         cap=out_cap)[2]
 
         t_k = timeit(kern)
         print(f"  staircase {(j,h)} CL={CL} CR={CR} cap={out_cap}: "

@@ -115,7 +115,7 @@ def dense_stage1(P_all, k, sigma, eps, key_batches=1, block_w=64,
 
 def sparse_stage1(P_all, k, sigma, bits, eps, cap, pipeline=8):
     """Ghost-batched capacity-bounded sparse path, exactly as production:
-    probe-sized per-span caps + the staircase_select kernel on TPU;
+    probe-sized per-span caps + the wide staircase kernel on TPU;
     ``pipeline`` iterations timed through one small transfer (same
     amortization methodology as dense_stage1)."""
     import jax
@@ -192,8 +192,31 @@ def distributed_mi(P_all, k, sigma, eps, omega):
     return entries, elapsed
 
 
+def artifact_meta():
+    """git SHA + device + host recorded into results.json (ADVICE r2)."""
+    import subprocess
+    import jax
+    from benchmarks import baseline as bl
+    try:
+        sha = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
+                             capture_output=True, text=True,
+                             check=True).stdout.strip()
+    except Exception:
+        sha = "unknown"
+    return {"git_sha": sha,
+            "device": str(jax.devices()[0]),
+            "platform": jax.devices()[0].platform,
+            "host": bl.host_fingerprint()}
+
+
 def main():
-    results = {}
+    # the sparse configs each pay tens of seconds of Mosaic compile when
+    # cold; the persistent cache (same one bench.py uses) makes re-runs
+    # finish in minutes (VERDICT r3 item 1a)
+    from ipk_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    results = {"meta": artifact_meta()}
     rng = np.random.default_rng(7)
 
     def record(name, entry):
@@ -279,9 +302,13 @@ def main():
     #    the crossover where device throughput dominates end-to-end wall
     #    time; VERDICT r2 item 2)
     record("full_build_dna_k8", full_build_bench())
-    if os.environ.get("IPK_TPU_BENCH_SKIP_AT_SCALE") != "1":
+    # opt-IN (ADVICE r3): the at-scale config runs a minutes-long
+    # single-core oracle pass; enable with IPK_TPU_BENCH_AT_SCALE=1 or
+    # --at-scale (the recorded results.json row was produced with it on)
+    if (os.environ.get("IPK_TPU_BENCH_AT_SCALE") == "1"
+            or "--at-scale" in sys.argv):
         record("full_build_at_scale",
-               full_build_bench(num_leaves=256, width=1500, reps=1))
+               full_build_bench(num_leaves=256, width=1500, reps=2))
 
     # 8. Mosaic-kernel vs XLA-fallback equality evidence on real hardware
     record("kernel_parity", kernel_parity_check())
@@ -296,7 +323,8 @@ def kernel_parity_check():
     import jax
     import jax.numpy as jnp
     from ipk_tpu.core import dense
-    from ipk_tpu.core.pallas_kernels import combine_max, staircase_select
+    from ipk_tpu.core import sparse as sparse_mod
+    from ipk_tpu.core.pallas_kernels import combine_max, staircase_select_wide
 
     rng = np.random.default_rng(123)
     out = {"platform": jax.devices()[0].platform}
@@ -319,31 +347,52 @@ def kernel_parity_check():
     out["dense_counts_equal"] = bool(
         np.array_equal(np.asarray(cnt_kernel), np.asarray(cnt_jnp)))
 
-    # sparse staircase: Mosaic kernel vs brute-force numpy
+    # sparse staircase (the production wide kernel, in-kernel sorts): Mosaic
+    # vs brute-force numpy over the SORTED views — checks values, slot
+    # order, totals, and the sort itself
     G, W, CL, CR, cap = 2, 16, 200, 300, 512
     sL = rng.uniform(-6, 0, (G, W, CL)).astype(np.float32)
-    sR = np.sort(rng.uniform(-6, 0, (G, W, CR)).astype(np.float32),
-                 axis=2)[:, :, ::-1].copy()
+    sR = rng.uniform(-6, 0, (G, W, CR)).astype(np.float32)
     cL = rng.integers(0, 2 ** 20, (G, W, CL)).astype(np.uint32)
     cR = rng.integers(0, 2 ** 20, (G, W, CR)).astype(np.uint32)
     epsw = rng.uniform(-3.2, -3.0, (G, W)).astype(np.float32)
-    clu, cru, s, tot = staircase_select(
+    clu, cru, s, tot = staircase_select_wide(
         jnp.asarray(sL), jnp.asarray(cL), jnp.asarray(sR), jnp.asarray(cR),
         jnp.asarray(epsw), cap=cap, interpret=False)
     clu, cru, s, tot = map(np.asarray, (clu, cru, s, tot))
     ok = True
     for g in range(G):
         for w in range(W):
-            T = sL[g, w][:, None] + sR[g, w][None, :]
+            ol = np.lexsort((cL[g, w], -sL[g, w]))
+            orr = np.lexsort((cR[g, w], -sR[g, w]))
+            T = sL[g, w][ol][:, None] + sR[g, w][orr][None, :]
             ii, jj = np.nonzero(T > epsw[g, w])
             n = len(ii)
             take = min(n, cap)
             ok &= (tot[g, w] == n
                    and np.array_equal(T[ii[:take], jj[:take]],
                                       s[g, w, :take])
-                   and np.array_equal(cL[g, w, ii[:take]], clu[g, w, :take])
-                   and np.array_equal(cR[g, w, jj[:take]], cru[g, w, :take]))
-    out["staircase_bitequal"] = bool(ok)
+                   and np.array_equal(cL[g, w, ol][ii[:take]],
+                                      clu[g, w, :take])
+                   and np.array_equal(cR[g, w, orr][jj[:take]],
+                                      cru[g, w, :take]))
+    out["staircase_wide_bitequal"] = bool(ok)
+
+    # end-to-end sparse path: Mosaic kernels vs the XLA fallback on the
+    # real device, full arrays bit-equal (VERDICT r3 item 3)
+    k, sigma, cap2 = 8, 20, 512
+    P = make_P_peaked(rng, 4, 40, sigma)
+    prefix = dense.best_score_prefix(P)
+    eps2 = np.float32(np.log10((8.0 / sigma) ** k))
+    c0, s0, o0 = sparse_mod.enumerate_sparse_many(
+        P, prefix, eps2, k=k, sigma=sigma, bits=5, cap=cap2,
+        use_kernel=False)
+    c1, s1, o1 = sparse_mod.enumerate_sparse_many(
+        P, prefix, eps2, k=k, sigma=sigma, bits=5, cap=cap2,
+        use_kernel=True)
+    out["sparse_path_bitequal"] = bool(
+        np.array_equal(c0, c1) and np.array_equal(s0, s1)
+        and np.array_equal(o0, o1))
     return out
 
 

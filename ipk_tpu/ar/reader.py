@@ -30,21 +30,14 @@ from ..seq import SeqTraits, DNA, AA
 
 __all__ = ["read_ancestral_probs", "RAXML_AA_ORDER", "aa_permutation"]
 
-_NATIVE_PATH = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))), "native",
-    "libprobs_parser.so")
-_native_lib = None
-
-
 def _load_native() -> Optional[ctypes.CDLL]:
-    """The C++ mmap/from_chars parser (native/probs_parser.cpp); falls back
-    to the pure-Python parser when the shared library is not built."""
-    global _native_lib
-    if _native_lib is not None:
-        return _native_lib
-    if not os.path.exists(_NATIVE_PATH) or os.environ.get("IPK_TPU_NO_NATIVE"):
-        return None
-    lib = ctypes.CDLL(_NATIVE_PATH)
+    """The C++ mmap/from_chars parser (native/probs_parser.cpp), built on
+    demand with portable flags (utils/native.py); falls back to the
+    pure-Python parser when unavailable or IPK_TPU_NO_NATIVE is set."""
+    from ..utils.native import load_native_lib
+    lib = load_native_lib("libprobs_parser.so")
+    if lib is None or getattr(lib, "_ipk_typed", False):
+        return lib
     lib.ipk_probs_parse.restype = ctypes.c_void_p
     lib.ipk_probs_parse.argtypes = [ctypes.c_char_p, ctypes.c_int64]
     lib.ipk_probs_error.restype = ctypes.c_char_p
@@ -59,7 +52,7 @@ def _load_native() -> Optional[ctypes.CDLL]:
     lib.ipk_probs_data.restype = ctypes.POINTER(ctypes.c_float)
     lib.ipk_probs_data.argtypes = [ctypes.c_void_p]
     lib.ipk_probs_free.argtypes = [ctypes.c_void_p]
-    _native_lib = lib
+    lib._ipk_typed = True
     return lib
 
 

@@ -318,8 +318,11 @@ def _sparse_device_merge(P_all, prefix_all, *, k: int, sigma: int, bits: int,
         mesh.shape["branch"] * ghosts_per_group)
     G, S = P_all.shape[0], P_all.shape[1]
     W = S - k + 1
-    top_cap = min(cap, max(list(caps.values()) + [128]))
-    if G * W * top_cap * 48 > _DEVICE_MERGE_BUDGET_BYTES:
+    def over_budget(c):
+        top_cap = min(cap, max(list(c.values()) + [128]))
+        return G * W * top_cap * 48 > _DEVICE_MERGE_BUDGET_BYTES
+
+    if over_budget(caps):
         return None, "working set exceeds the single-dispatch budget"
     while True:
         pend = sparse_mod.enumerate_pairs_deferred(
@@ -329,6 +332,12 @@ def _sparse_device_merge(P_all, prefix_all, *, k: int, sigma: int, bits: int,
             pend, k=k, sigma=sigma, cap=cap, caps=caps)
         if done:
             break
+        # cap adaptation can double the working set past the budget the
+        # probe-derived caps satisfied; re-check so the graceful host-merge
+        # fallback fires instead of a device OOM (ADVICE r3)
+        if over_budget(caps):
+            return None, ("working set exceeds the single-dispatch budget "
+                          "after capacity adaptation")
     if result[3].any():
         raise RuntimeError(
             f"Survivor-list capacity {cap} exceeded. Increase "
@@ -646,33 +655,43 @@ def build(original_tree: PhyloTree,
     num_explored = 0
     fv_override = None
     use_device_mi = (device_mi and mesh is not None and not use_sparse
-                     and not keep_positions and key_batches == 1
-                     and filter_type == "mif0")
+                     and not keep_positions and filter_type == "mif0")
     if device_mi and not use_device_mi and verbose > 0:
         print("Note: --device-mi needs a multi-device mesh, the dense "
-              "single-batch path and the mif0 filter; falling back to the "
-              "host f64 filter.")
+              "path and the mif0 filter; falling back to the host f64 "
+              "filter.")
     if use_device_mi:
         # pod-scale path: enumeration AND the mutual-information reduction
         # stay on device (two psum collectives over the branch axis,
-        # build_sharded._local_step); filter values come back f32. The
+        # build_sharded._mi_reduce); filter values come back f32. The
         # host-f64 path remains the canonical ordering (SURVEY.md §7.1/#6);
         # this trades the last bits of fv rounding for never gathering the
-        # full entry set onto one host.
-        from .parallel.build_sharded import pad_ghosts, sharded_build_step
+        # full entry set onto one host. mif0 is per-key separable, so the
+        # reduction runs per KEY BATCH with identical values — the r3
+        # key_batches == 1 gate is gone (VERDICT r3 item 6).
+        from .parallel.build_sharded import (pad_ghosts,
+                                             sharded_batched_build_step)
         G0 = P_all.shape[0]
+        B0 = G0 // ghosts_per_group
         P_pad, pre_pad, _ = pad_ghosts(
             P_all, prefix_all, mesh.shape["branch"] * ghosts_per_group)
-        step = sharded_build_step(
+        halves_fn, batch_fn, step_l = sharded_batched_build_step(
             mesh, k=kmer_size, sigma=sigma,
             ghosts_per_group=ghosts_per_group,
             total_num_groups=original_tree.get_node_count(),
-            threshold=threshold, block_w=block_w)
-        A_dev, fv_dev, counts = step(P_pad, pre_pad, eps)
-        B0 = G0 // ghosts_per_group
-        count = int(np.asarray(counts)[:G0].astype(np.int64).sum())
-        fv_override = np.asarray(fv_dev)
-        batches = iter([("dense", 0, np.asarray(A_dev)[:B0], None, count)])
+            threshold=threshold, key_batches=key_batches, block_w=block_w)
+        fv_override = np.empty(nl * nr, dtype=np.float32)
+
+        def device_mi_batches():
+            L, R = halves_fn(P_pad, pre_pad, eps)
+            for b in range(key_batches):
+                A_b, fv_b, counts = batch_fn(L, R, eps, b * step_l)
+                lo = b * step_l * nr
+                fv_override[lo:lo + step_l * nr] = np.asarray(fv_b)
+                count = int(np.asarray(counts)[:G0].astype(np.int64).sum())
+                yield ("dense", lo, np.asarray(A_b)[:B0], None, count)
+
+        batches = device_mi_batches()
     elif use_sparse:
         stream = None
         if mesh is not None and os.environ.get(

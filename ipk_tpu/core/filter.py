@@ -37,36 +37,27 @@ import numpy as np
 __all__ = ["score_threshold", "logscore_to_score", "mif0_filter_values",
            "random_filter_values", "minstd0_uniform_stream", "sort_order"]
 
-_NATIVE_PATH = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))), "native",
-    "libmif0_filter.so")
-_native_lib = None
-
-
 def _load_native() -> Optional[ctypes.CDLL]:
-    """Threaded C++ mif0 (native/mif0_filter.cpp, bit-equal to the numpy
-    path — tests/test_filter.py); numpy fallback when not built."""
-    global _native_lib
-    if _native_lib is not None:
-        return _native_lib
-    if not os.path.exists(_NATIVE_PATH) or os.environ.get("IPK_TPU_NO_NATIVE"):
-        return None
-    lib = ctypes.CDLL(_NATIVE_PATH)
+    """Threaded C++ mif0 (native/mif0_filter.cpp, ulp-close to the numpy
+    path — tests/test_filter.py), built on demand with portable flags;
+    numpy fallback when the toolchain is unavailable or IPK_TPU_NO_NATIVE
+    is set (checked on every call — utils/native.py)."""
+    from ..utils.native import load_native_lib
+    lib = load_native_lib("libmif0_filter.so", extra_flags=["-pthread"])
+    if lib is None or getattr(lib, "_ipk_typed", False):
+        return lib
     lib.ipk_mif0_entries.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int64, ctypes.c_double, ctypes.c_double,
         ctypes.POINTER(ctypes.c_double), ctypes.c_int32]
-    try:
-        lib.ipk_range_gather_apply.argtypes = [
-            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-            ctypes.c_int64, ctypes.POINTER(ctypes.c_uint32),
-            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint32),
-            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int32]
-    except AttributeError:     # stale .so without the symbol
-        pass
-    _native_lib = lib
+    lib.ipk_range_gather_apply.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int32]
+    lib._ipk_typed = True
     return lib
 
 

@@ -21,18 +21,24 @@ exceeding a span's cap) is detected per span and the affected span's cap is
 doubled and the chunk re-run (compile cache per cap tuple), failing loudly
 only at the user ceiling — silent truncation would drop valid k-mers.
 
-Per span (j, h), survivors are kept as (code, score) lists sorted
-score-descending. Combining two sorted lists under a threshold is a
-**staircase**: the surviving j for each i form a prefix in j (f32 addition is
-monotone), so the survivor region is fully described by per-row counts. On
-TPU the combine+select runs in a fused Pallas kernel
-(``pallas_kernels.staircase_select``): per-row counts by VMEM-resident
-compare-reduce, offsets by triangular matmuls on the MXU, extraction by
-one-live-term membership masks — the vectorized equivalent of DCLA's
-sort-the-smaller-side + early-break pairwise loop (``pk_compute.cpp:61-110``).
-Elsewhere (CPU tests) an XLA fallback computes the same counts and
-membership extraction with fused elementwise HLOs (no gather/scatter/sort
-in the hot path).
+Per span (j, h), survivors are combined as a **staircase**: with the right
+operand sorted by (score desc, code asc), the surviving j for each row i
+form a prefix in j (f32 addition is monotone), so the survivor region is
+fully described by per-row counts. Mirroring the reference's own trick
+(``pk_compute.cpp:61-70``), the SMALLER child is routed to the sorted side
+and the bigger child stays in its given order — the sort is the one
+O(C log² C) step. On TPU the combine+select runs in one fused Pallas
+kernel (``pallas_kernels.staircase_select_wide``): the small child sorted
+in VMEM by a bitonic network, per-row counts by compare-reduce with
+per-tile survivor horizons, offsets by triangular matmuls on the MXU,
+extraction by one-live-term membership masks with exact live-row rank
+queries — the vectorized equivalent of DCLA's sort-the-smaller-side +
+early-break pairwise loop (``pk_compute.cpp:61-110``), with data-dependent
+trip counts so work scales with survivors, and O(1) program size so Mosaic
+compiles in seconds at any width (the r3 kernels' 150-500 s compiles are
+gone). Elsewhere (CPU tests) the XLA fallback pre-sorts with the same
+two-key order and computes the same counts and membership extraction with
+fused elementwise HLOs — bit-identical output including slot order.
 
 Scores follow the identical f32 summation tree, so values are bit-equal to
 the dense path. Codes stay ``uint32`` on device (every half-window needs ≤
@@ -65,16 +71,11 @@ _CHUNK_ELEMS = 1 << 26
 #: staircase saves (fixed ~1-2 us/window per combine dominates tiny tiles).
 COMPLETE_LIMIT = 512
 
-#: Pallas kernel limits (list sizes beyond this use the XLA fallback)
+#: Pallas kernel limits (list sizes beyond this use the XLA fallback; the
+#: wide kernel's VMEM working set is ~24·CLp·128 bytes plus the cap block)
 _KERNEL_MAX_CL = 4096
 _KERNEL_MAX_CR = 4096
 _KERNEL_MAX_CAP = 8192
-
-#: window-batched kernel limits: the extraction loops unroll CL + CR vector
-#: ops per output tile, so very wide lists/caps explode Mosaic compile time
-#: and VMEM; beyond these the per-window kernel takes over
-_BATCHED_MAX_LIST = 512
-_BATCHED_MAX_CAP = 4096
 
 
 # ---------------------------------------------------------------------------
@@ -218,9 +219,15 @@ def _span_eps(prefix_all: jnp.ndarray, k: int, W: int, log_threshold
 
 
 def _sort_desc(codes: jnp.ndarray, scores: jnp.ndarray):
-    """Sort each row's (code, score) pairs by score descending (pruned -inf
-    slots sink to the end). Values are untouched — only slot order changes."""
-    neg, codes = jax.lax.sort_key_val(-scores, codes, dimension=-1)
+    """Sort each row's (code, score) pairs by (score desc, code asc) —
+    pruned -inf slots sink to the end. The code tiebreak (in UNSIGNED
+    order, matching the kernel's biased compare) makes the permutation a
+    deterministic total order, so the XLA fallback and the Pallas kernel
+    emit bit-identical slot orders. Values are untouched."""
+    ci = (jax.lax.bitcast_convert_type(codes, jnp.int32)
+          ^ np.int32(-0x80000000))
+    neg, ci, codes = jax.lax.sort((-scores, ci, codes), num_keys=2,
+                                  dimension=-1)
     return codes, -neg
 
 
@@ -305,8 +312,10 @@ def _staircase_xla(cL, sL, cR, sR, eps, *, cap: int, shift):
         s = pick_l(sL, jnp.float32) + pick_r(sR, jnp.float32)
         valid = (ks[None, None, :] < total[..., None]) & (s > eps[..., None])
         out_s.append(jnp.where(valid, s, NEG_INF))
-        out_cl.append(pick_l(cL, jnp.uint32))
-        out_cr.append(pick_r(cR, jnp.uint32))
+        # dead slots carry code 0 (not the leaked cR[t] of an empty
+        # membership mask) — the kernel's contract
+        out_cl.append(jnp.where(valid, pick_l(cL, jnp.uint32), 0))
+        out_cr.append(jnp.where(valid, pick_r(cR, jnp.uint32), 0))
 
     cat = (lambda xs: jnp.concatenate(xs, axis=2) if len(xs) > 1 else xs[0])
     clg, crg, s = cat(out_cl), cat(out_cr), cat(out_s)
@@ -334,33 +343,32 @@ def _combine(lists, span, eps_span, *, sigma: int, bits: int,
         codes, scores = _complete_product(cl, sl, cr, sr, eps_span, shift)
         return codes, scores, child_ovf
 
-    # the staircase prefix property needs (only) the RIGHT list sorted
-    # score-descending; sorting lazily here skips it for complete products
-    cr, sr = _sort_desc(cr, sr)
-    if (use_kernel and CL <= _BATCHED_MAX_LIST and CR <= _BATCHED_MAX_LIST
-            and out_cap % 128 == 0 and out_cap <= _BATCHED_MAX_CAP):
-        # window-batched kernel: work scales with survivors, not capacity
-        # (the r2 per-window kernel's fixed ~2-8 us/window was the AA
-        # bottleneck — VERDICT r2 item 1)
-        from .pallas_kernels import staircase_select_batched
-        clg, crg, scores, totals = staircase_select_batched(
-            sl, cl, sr, cr, eps_span, cap=out_cap)
-        ovf = (totals > out_cap).any(axis=1)
-        codes = ((clg, crg) if top
-                 else (clg << np.uint32(shift)) | crg)
-        return codes, scores, child_ovf | ovf
-    if (use_kernel and CL <= _KERNEL_MAX_CL and CR <= _KERNEL_MAX_CR
+    # Sort the SMALLER side (the reference's own trick,
+    # ``pk_compute.cpp:61-70``): only the staircase's right operand needs
+    # sortedness, so route the smaller child there and keep the big child
+    # unsorted — the sort is the single O(C log² C) step and halving its
+    # width measurably matters (~0.2 us/window per 512-wide list on TPU).
+    # Emission order: row-major over (big child in its given order) ×
+    # (small child sorted by (score desc, code asc)) — identical between
+    # the Pallas kernel and the XLA fallback.
+    swap = CR > CL
+    a_c, a_s, b_c, b_s = ((cr, sr, cl, sl) if swap
+                          else (cl, sl, cr, sr))
+    if (use_kernel and max(CL, CR) <= _KERNEL_MAX_CL
             and out_cap % 128 == 0 and out_cap <= _KERNEL_MAX_CAP):
-        from .pallas_kernels import staircase_select
-        clg, crg, scores, totals = staircase_select(
-            sl, cl, sr, cr, eps_span, cap=out_cap)
-        ovf = (totals > out_cap).any(axis=1)
-        codes = ((clg, crg) if top
-                 else (clg << np.uint32(shift)) | crg)
-        return codes, scores, child_ovf | ovf
-    codes, scores, total = _staircase_xla(
-        cl, sl, cr, sr, eps_span, cap=out_cap, shift=shift)
-    ovf = (total > out_cap).any(axis=1)
+        # the wide kernel sorts its right operand in VMEM (an XLA sort
+        # dispatch saved per span — ~2/5 of the whole r3 AA pass)
+        from .pallas_kernels import staircase_select_wide
+        ag, bg, scores, totals = staircase_select_wide(
+            a_s, a_c, b_s, b_c, eps_span, cap=out_cap, sort_l=False)
+    else:
+        b_c, b_s = _sort_desc(b_c, b_s)
+        (ag, bg), scores, totals = _staircase_xla(
+            a_c, a_s, b_c, b_s, eps_span, cap=out_cap, shift=None)
+    ovf = (totals > out_cap).any(axis=1)
+    clg, crg = ((bg, ag) if swap else (ag, bg))
+    codes = ((clg, crg) if top
+             else (clg << np.uint32(shift)) | crg)
     return codes, scores, child_ovf | ovf
 
 

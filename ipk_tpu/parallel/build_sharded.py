@@ -49,15 +49,13 @@ def _shannon(x):
     return -x * jnp.log2(x)
 
 
-def _local_step(P_loc, prefix_loc, log_threshold, *, k, sigma,
-                ghosts_per_group, total_num_groups, threshold, block_w):
-    """Per-device: enumerate local ghosts, then join the collective MI pass."""
-    A_ghost, counts = dense.accumulate_ghosts(P_loc, prefix_loc,
-                                              log_threshold, k=k,
-                                              sigma=sigma, block_w=block_w,
-                                              with_count=True)
-    A_loc = dense.group_max(A_ghost, ghosts_per_group)        # [B_loc, K]
-
+def _mi_reduce(A_loc, *, total_num_groups, threshold):
+    """Collective mif0 over a branch-sharded accumulator slice
+    (``filter.cpp:60-119`` as two psums over the branch axis). Exact per
+    key — mutual information depends only on that key's entries — so it is
+    valid on ANY contiguous key slice, which is what makes the key-batched
+    device-MI path (VERDICT r3 item 6) possible. Returns fv over this
+    device's key-axis shard of the slice."""
     mask = jnp.isfinite(A_loc)
     lin = jnp.where(mask, jnp.minimum(10.0 ** A_loc.astype(jnp.float32), 1.0),
                     0.0)
@@ -82,7 +80,19 @@ def _local_step(P_loc, prefix_loc, log_threshold, *, k, sigma,
     tv_k = jax.lax.dynamic_slice(tv_sum, (start,), (chunk,))
     tt = _shannon(thr / ss)
     HcBw1 = N * tt + (tv_k - cnt_k * tt)
-    fv = ss * (HcBw1 - jnp.log2(N))
+    return ss * (HcBw1 - jnp.log2(N))
+
+
+def _local_step(P_loc, prefix_loc, log_threshold, *, k, sigma,
+                ghosts_per_group, total_num_groups, threshold, block_w):
+    """Per-device: enumerate local ghosts, then join the collective MI pass."""
+    A_ghost, counts = dense.accumulate_ghosts(P_loc, prefix_loc,
+                                              log_threshold, k=k,
+                                              sigma=sigma, block_w=block_w,
+                                              with_count=True)
+    A_loc = dense.group_max(A_ghost, ghosts_per_group)        # [B_loc, K]
+    fv = _mi_reduce(A_loc, total_num_groups=total_num_groups,
+                    threshold=threshold)
     return A_loc, fv, counts
 
 
@@ -143,3 +153,61 @@ def sharded_build_step(mesh: Mesh, *, k: int, sigma: int, ghosts_per_group: int,
         return mapped(P_all, prefix_all, log_threshold)
 
     return step
+
+
+def sharded_batched_build_step(mesh: Mesh, *, k: int, sigma: int,
+                               ghosts_per_group: int, total_num_groups: int,
+                               threshold: float, key_batches: int,
+                               block_w: int = 32):
+    """Key-batched device-MI build step (VERDICT r3 item 6): enumeration AND
+    the mutual-information reduction stay on device even when the dense
+    accumulator does not fit HBM in one piece.
+
+    The key space is split along the LEFT half-window axis into
+    ``key_batches`` contiguous slices (the builder's usual batching); mif0
+    is per-key separable, so running :func:`_mi_reduce` on each slice gives
+    exactly the values the unbatched step computes. Halves are built once
+    per call (cheap, [G, W, σ^⌈k/2⌉]); only the [B, chunk] accumulator
+    slice ever exists.
+
+    Returns ``(halves_fn, batch_fn, step_l)``:
+      halves_fn(P_pad, prefix_pad, eps) -> (L, R) branch-sharded
+      batch_fn(L, R, eps, lo_l) -> (A_b [B, step_l·nr], fv_b, counts_b)
+    with ``lo_l`` the left-index offset (traced — one compile for all
+    batches).
+    """
+    hl = k // 2
+    nl = sigma ** hl
+    if nl % key_batches != 0:
+        raise ValueError(f"key_batches {key_batches} must divide {nl}")
+    step_l = nl // key_batches
+    n_key = mesh.shape.get("key", 1)
+
+    def halves_local(P_loc, prefix_loc, log_threshold):
+        return jax.vmap(
+            functools.partial(dense.masked_halves, k=k, sigma=sigma),
+            in_axes=(0, 0, None))(P_loc, prefix_loc, log_threshold)
+
+    halves_fn = jax.jit(jax.shard_map(
+        halves_local, mesh=mesh,
+        in_specs=(P("branch"), P("branch"), P()),
+        out_specs=P("branch")))
+
+    def batch_local(L_loc, R_loc, log_threshold, lo_l):
+        Lb = jax.lax.dynamic_slice_in_dim(L_loc, lo_l, step_l, axis=2)
+        A_ghost, counts = dense.combine_max_jnp(Lb, R_loc, log_threshold,
+                                                block_w=block_w,
+                                                with_count=True)
+        A_loc = dense.group_max(
+            A_ghost.reshape(A_ghost.shape[0], -1), ghosts_per_group)
+        fv = _mi_reduce(A_loc, total_num_groups=total_num_groups,
+                        threshold=threshold)
+        return A_loc, fv, counts
+
+    if (step_l * (sigma ** (k - hl))) % n_key != 0:
+        raise ValueError(f"key-axis size {n_key} must divide the batch")
+    batch_fn = jax.jit(jax.shard_map(
+        batch_local, mesh=mesh,
+        in_specs=(P("branch"), P("branch"), P(), P()),
+        out_specs=(P("branch"), P("key"), P("branch"))))
+    return halves_fn, batch_fn, step_l

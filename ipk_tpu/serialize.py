@@ -318,6 +318,9 @@ class BatchLoader:
         self._f = open(filename, "rb")
         head = self._f.read(len(_MAGIC))
         if head != _MAGIC:
+            # close before raising: dump_database probes compressed files
+            # through this exception, which must not leak the fd (ADVICE r3)
+            self._f.close()
             raise RuntimeError(
                 f"BatchLoader needs an uncompressed .ipk file: {filename}")
         r = _StreamReader(self._f)

@@ -298,3 +298,30 @@ def test_device_mi_build(dna_project):
         assert ch[key][1] == cd[key][1], key
         np.testing.assert_allclose(cd[key][2], ch[key][2], rtol=2e-5,
                                    atol=1e-7)
+
+
+def test_device_mi_build_multibatch(dna_project, monkeypatch):
+    """--device-mi with key_batches > 1 (VERDICT r3 item 6): mif0 is
+    per-key separable, so the per-batch collective reduction must produce
+    the same DB content as the host-f64 build, batch decomposition
+    notwithstanding."""
+    import ipk_tpu.builder as builder_mod
+    monkeypatch.setattr(builder_mod, "pick_key_batches", lambda *a, **k: 4)
+    tmp, tree_file, fasta_file, ar_dir = dna_project
+    host = serialize.load(build_with(tmp, tree_file, fasta_file, ar_dir,
+                                     "mib_host"))
+    dev = serialize.load(build_with(tmp, tree_file, fasta_file, ar_dir,
+                                    "mib_dev", device_mi=True))
+    assert set(host.keys.tolist()) == set(dev.keys.tolist())
+    hidx = {k: i for i, k in enumerate(host.keys.tolist())}
+    for i, key in enumerate(dev.keys.tolist()):
+        j = hidx[key]
+        lo, hi = dev.offsets[i], dev.offsets[i + 1]
+        hlo, hhi = host.offsets[j], host.offsets[j + 1]
+        np.testing.assert_array_equal(dev.branches[lo:hi],
+                                      host.branches[hlo:hhi])
+        np.testing.assert_array_equal(dev.scores[lo:hi],
+                                      host.scores[hlo:hhi])
+        np.testing.assert_allclose(dev.filter_values[i],
+                                   host.filter_values[j], rtol=2e-5,
+                                   atol=1e-7)
