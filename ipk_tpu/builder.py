@@ -310,6 +310,7 @@ def _sparse_device_merge(P_all, prefix_all, *, k: int, sigma: int, bits: int,
     from .parallel.build_sharded import pad_ghosts
     caps = sparse_mod.probe_caps(P_all, prefix_all, eps, k=k, sigma=sigma,
                                  cap=cap)
+    G0 = P_all.shape[0]
     # GROUP-ALIGNED padding: each device must hold whole ghost groups for
     # the merge's group indexing (the enumeration alone is happy with any
     # split — _prepare_batch pads to n_dev only)
@@ -353,11 +354,25 @@ def _sparse_device_merge(P_all, prefix_all, *, k: int, sigma: int, bits: int,
             ghosts_per_group=ghosts_per_group, nl=sigma ** (k // 2),
             bits=bits, k=k)
     except KeyMergeOverflow as e:
-        return None, str(e)
+        # a merge bucket overflowed, but stage 1 is DONE and correct —
+        # reuse the enumerated survivor lists and merge on host instead of
+        # discarding and re-running the whole enumeration (ADVICE r3)
+        if verbose > 0:
+            print(f"Note: device key merge fell back to the host merge "
+                  f"({e}); reusing the completed enumeration.")
+        codes_h = sparse_mod._pack_host(np.asarray(cl_full),
+                                        np.asarray(cr_full), k=k, bits=bits)
+        scores_h = np.asarray(scores_full)
+        per_branch = []
+        for bi in range(G0 // ghosts_per_group):
+            i0, i1 = bi * ghosts_per_group, (bi + 1) * ghosts_per_group
+            per_branch.append(sparse_mod.merge_window_lists(
+                codes_h[i0:i1], scores_h[i0:i1]))
+        return ("lists", per_branch), explored
     if verbose > 0:
         print(f"Device key merge: {len(keys)} entries "
               f"({mesh.shape['branch']} shards, all-to-all by key range)")
-    return (keys, border, scores), explored
+    return ("stream", (keys, border, scores)), explored
 
 
 def _extract_from_lists(per_branch, group_ids, total_num_groups: int,
@@ -706,12 +721,18 @@ def build(original_tree: PhyloTree,
             if stream is None and verbose > 0:
                 print(f"Note: device key merge fell back to the host merge "
                       f"({info}).")
-        if stream is not None:
-            (keys_s, border_s, scores_s), num_explored = stream, info
+        if stream is not None and stream[0] == "stream":
+            (keys_s, border_s, scores_s), num_explored = stream[1], info
             sparse_part = _extract_sorted_stream(
                 keys_s, border_s, scores_s, group_ids,
                 original_tree.get_node_count(), threshold, filter_type,
                 rng_stream, merge_branches)
+        elif stream is not None and stream[0] == "lists":
+            # bucket-overflow fallback: the enumeration was kept (ADVICE r3)
+            per_branch, num_explored = stream[1], info
+            sparse_part = _extract_from_lists(
+                per_branch, group_ids, original_tree.get_node_count(),
+                threshold, filter_type, rng_stream, merge_branches)
         else:
             per_branch, num_explored = _enumerate_sparse_branches(
                 P_all, prefix_all, k=kmer_size, sigma=sigma,

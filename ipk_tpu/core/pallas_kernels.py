@@ -452,6 +452,27 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def staircase_wide_max_cap_blk(CL: int, CR: int,
+                               vmem_budget: int = 10 << 20) -> int:
+    """Largest cap block (multiple of 128) the wide kernel can allocate for
+    these child widths without tripping the ~16 MB scoped-VMEM ceiling.
+    Model (measured against the compiler's stack accounting, with headroom):
+    double-buffered input blocks + persistent scratch + bitonic temporaries
+    scale with CLp/CRp; outputs double-buffer per cap row. Returns 0 when
+    even cap_blk=128 cannot fit — the caller must use the XLA fallback."""
+    CLp = max(128, _next_pow2(CL))
+    CRp = max(8, _next_pow2(CR))
+    lane_bytes = 128 * 4
+    fixed = (2 * (2 * CLp + 2 * CRp)      # in blocks, double-buffered
+             + (4 * CLp + 2 * CRp)        # persistent scratch
+             + 4 * CLp                    # bitonic roll temporaries
+             + 16) * lane_bytes
+    if fixed >= vmem_budget:
+        return 0
+    rows = (vmem_budget - fixed) // (2 * 3 * lane_bytes)
+    return (rows // 128) * 128
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cap", "sort_l", "interpret"))
 def staircase_select_wide(sL: jnp.ndarray, cL: jnp.ndarray,
@@ -482,7 +503,11 @@ def staircase_select_wide(sL: jnp.ndarray, cL: jnp.ndarray,
     Np = -(-N // 128) * 128
     CLp = max(128, _next_pow2(CL))   # pow2: the bitonic network needs it;
     CRp = max(8, _next_pow2(CR))     # >=128 for the MXU cumsum tiles
-    cap_blk = min(cap, 1024)
+    cap_blk = min(cap, 1024, staircase_wide_max_cap_blk(CL, CR))
+    if cap_blk < 128:
+        raise ValueError(
+            f"staircase_select_wide: lists CL={CL} CR={CR} exceed the VMEM "
+            "budget — route to the XLA fallback")
     nCB = -(-cap // cap_blk)
     cap_pad = nCB * cap_blk
 

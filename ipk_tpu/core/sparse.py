@@ -66,16 +66,28 @@ __all__ = ["enumerate_sparse", "enumerate_sparse_many",
 _CHUNK_ELEMS = 1 << 26
 
 #: spans with σ^h at or below this stay complete (no selection, no overflow).
-#: Measured on TPU: capacity-bounding 400-wide AA h=2 lists at 128 LOSES —
-#: the extra per-level kernel passes cost more than the shrunken parent
-#: staircase saves (fixed ~1-2 us/window per combine dominates tiny tiles).
-COMPLETE_LIMIT = 512
+#: r3 measured 512 as the optimum for the then-kernel; with the wide kernel
+#: (r4) capacity-bounding the 400-wide AA h=2 products WINS — the staircase
+#: children come out compacted alive-first, which shrinks every downstream
+#: phase (aa_k8 at scale: 66 -> 77 M tuples/s with 256 vs 512).
+COMPLETE_LIMIT = 256
 
 #: Pallas kernel limits (list sizes beyond this use the XLA fallback; the
 #: wide kernel's VMEM working set is ~24·CLp·128 bytes plus the cap block)
 _KERNEL_MAX_CL = 4096
-_KERNEL_MAX_CR = 4096
 _KERNEL_MAX_CAP = 8192
+
+#: batch same-shape spans into one kernel dispatch — measured SLOWER on the
+#: real chip (see the note in _pairs_device), kept as an experiment knob
+GROUP_SPANS = False
+
+#: sort windows by estimated work before kernel dispatch (undone on output)
+#: so block-granular skipping pays the per-block mean instead of the global
+#: max — measured SLOWER on the real chip (interleaved A/B: aa_k8 65.4 vs
+#: 74.0, dna_k12 206 vs 230 M tuples/s; the permute/unpermute gathers cost
+#: more than the tighter horizons save). Kept as a correctness-tested knob
+#: for workloads with heavier work skew than the bench configs.
+SORT_WINDOWS = False
 
 
 # ---------------------------------------------------------------------------
@@ -324,52 +336,105 @@ def _staircase_xla(cL, sL, cR, sR, eps, *, cap: int, shift):
     return (clg << np.uint32(shift)) | crg, s, total
 
 
-def _combine(lists, span, eps_span, *, sigma: int, bits: int,
-             caps: Dict[Tuple[int, int], int], use_kernel: bool,
-             top: bool):
-    """Build span's survivor list from its children. Returns
-    (codes-or-pair, scores, overflow[G])."""
-    j, h = span
-    hl = h // 2
-    hr = h - hl
-    cl, sl, ovl = lists[(j, hl)]
-    cr, sr, ovr = lists[(j + hl, hr)]
-    CL, CR = sl.shape[2], sr.shape[2]
-    out_cap = caps[span]
-    shift = None if top else bits * hr
-    child_ovf = ovl | ovr
+def _policy(CL: int, CR: int, cap: int) -> Tuple[bool, bool]:
+    """(swap, sort_l) for a staircase of child widths (CL, CR) and output
+    capacity cap. ``swap`` exchanges the operands (kernel L := right child,
+    sorted operand := left child); ``sort_l`` sorts the L operand too.
+    Measured on the real AA/DNA span shapes (r4):
+
+    * strongly asymmetric spans (AA h=3: 20 × 400): the SMALL child goes on
+      the L side (counts iterate L tiles — one tiny tile — and extraction's
+      membership band stays ≤ 20 rows) and both sides are sorted; this was
+      the clear aa_k6 winner (123 vs 92 M tuples/s config-level);
+    * comparable widths: the smaller child becomes the sorted staircase
+      operand (the reference's own sort-the-smaller-side,
+      ``pk_compute.cpp:61-70``); sorting the big L too tightens the
+      extraction's live-row rank band, which pays off when there are many
+      output tiles (cap > 512: dna_k12 top span, 261 vs 190) but loses
+      when the sort outweighs the narrow extraction (aa_k8's cap-512
+      spans: 77 vs 55 with L unsorted).
+    """
+    big, small = max(CL, CR), min(CL, CR)
+    if small * 4 <= big:
+        return CL > CR, True
+    swap = CR > CL
+    sort_l = cap > 512 or big <= 128
+    return swap, sort_l
+
+
+def _combine_group(lists, spans, eps, *, sigma: int, bits: int,
+                   caps: Dict[Tuple[int, int], int], use_kernel: bool,
+                   k: int, ovf_of=None):
+    """Build one or more SAME-SHAPE spans' survivor lists from their
+    children — same-shape staircases are concatenated along the ghost axis
+    and run as ONE kernel dispatch (per-window arithmetic is lane-local, so
+    batched results are bit-identical to per-span calls; block-level
+    horizons only gate how much work runs, never the emitted values).
+    Returns {span: (codes-or-pair, scores, overflow[G])}.
+    """
+    j0, h0 = spans[0]
+    hl = h0 // 2
+    hr = h0 - hl
+    children = [(lists[(j, h // 2)], lists[(j + h // 2, h - h // 2)])
+                for (j, h) in spans]
+    CL = children[0][0][1].shape[2]
+    CR = children[0][1][1].shape[2]
+    out_cap = caps[spans[0]]
+    G = children[0][0][1].shape[0]
+    child_ovf = {s: (lc[2] | rc[2]) for s, (lc, rc) in zip(spans, children)}
 
     if CL * CR <= out_cap:
-        codes, scores = _complete_product(cl, sl, cr, sr, eps_span, shift)
-        return codes, scores, child_ovf
+        # complete products are cheap fused XLA — no batching needed
+        out = {}
+        for span, ((cl, sl, _), (cr, sr, _)) in zip(spans, children):
+            shift = None if span == (0, k) else bits * hr
+            codes, scores = _complete_product(cl, sl, cr, sr, eps[span],
+                                              shift)
+            out[span] = (codes, scores, child_ovf[span])
+        return out
 
-    # Sort the SMALLER side (the reference's own trick,
-    # ``pk_compute.cpp:61-70``): only the staircase's right operand needs
-    # sortedness, so route the smaller child there and keep the big child
-    # unsorted — the sort is the single O(C log² C) step and halving its
-    # width measurably matters (~0.2 us/window per 512-wide list on TPU).
-    # Emission order: row-major over (big child in its given order) ×
-    # (small child sorted by (score desc, code asc)) — identical between
-    # the Pallas kernel and the XLA fallback.
-    swap = CR > CL
-    a_c, a_s, b_c, b_s = ((cr, sr, cl, sl) if swap
-                          else (cl, sl, cr, sr))
+    swap, sort_l = _policy(CL, CR, out_cap)
+
+    def pick(ch):
+        (cl, sl, _), (cr, sr, _) = ch
+        return (cr, sr, cl, sl) if swap else (cl, sl, cr, sr)
+
+    picked = [pick(ch) for ch in children]
+    if len(spans) > 1:
+        a_c, a_s, b_c, b_s = (jnp.concatenate([p[i] for p in picked], axis=0)
+                              for i in range(4))
+        eps_cat = jnp.concatenate([eps[s] for s in spans], axis=0)
+    else:
+        a_c, a_s, b_c, b_s = picked[0]
+        eps_cat = eps[spans[0]]
+
+    from .pallas_kernels import staircase_wide_max_cap_blk
+    kCL, kCR = (CR, CL) if swap else (CL, CR)
     if (use_kernel and max(CL, CR) <= _KERNEL_MAX_CL
-            and out_cap % 128 == 0 and out_cap <= _KERNEL_MAX_CAP):
-        # the wide kernel sorts its right operand in VMEM (an XLA sort
-        # dispatch saved per span — ~2/5 of the whole r3 AA pass)
+            and out_cap % 128 == 0 and out_cap <= _KERNEL_MAX_CAP
+            and staircase_wide_max_cap_blk(kCL, kCR) >= 128):
         from .pallas_kernels import staircase_select_wide
         ag, bg, scores, totals = staircase_select_wide(
-            a_s, a_c, b_s, b_c, eps_span, cap=out_cap, sort_l=False)
+            a_s, a_c, b_s, b_c, eps_cat, cap=out_cap, sort_l=sort_l)
     else:
+        if sort_l:
+            a_c, a_s = _sort_desc(a_c, a_s)
         b_c, b_s = _sort_desc(b_c, b_s)
         (ag, bg), scores, totals = _staircase_xla(
-            a_c, a_s, b_c, b_s, eps_span, cap=out_cap, shift=None)
-    ovf = (totals > out_cap).any(axis=1)
-    clg, crg = ((bg, ag) if swap else (ag, bg))
-    codes = ((clg, crg) if top
-             else (clg << np.uint32(shift)) | crg)
-    return codes, scores, child_ovf | ovf
+            a_c, a_s, b_c, b_s, eps_cat, cap=out_cap, shift=None)
+
+    out = {}
+    for i, span in enumerate(spans):
+        sl_ = slice(i * G, (i + 1) * G)
+        ovf = (ovf_of(totals[sl_], out_cap) if ovf_of is not None
+               else (totals[sl_] > out_cap).any(axis=1))
+        clg, crg = ((bg[sl_], ag[sl_]) if swap else (ag[sl_], bg[sl_]))
+        if span == (0, k):
+            codes = (clg, crg)
+        else:
+            codes = (clg << np.uint32(bits * hr)) | crg
+        out[span] = (codes, scores[sl_], child_ovf[span] | ovf)
+    return out
 
 
 @functools.partial(jax.jit,
@@ -405,31 +470,107 @@ def _pairs_device(P_all, prefix_all, log_threshold, *, k: int, sigma: int,
     lists: Dict[Tuple[int, int], tuple] = {}
     overflow: Dict[Tuple[int, int], jnp.ndarray] = {}
     no_ovf = jnp.zeros((G,), dtype=bool)
-    # lists stay UNSORTED here; _combine sorts only the right child of a
-    # staircase lazily (the only place sortedness matters — sorts are the
-    # one O(C log C) step, and halving them matters on TPU)
     for (j, h) in split_tree(k):
-        span = (j, h)
         if h == 1:
+            span = (j, h)
             T = jax.lax.slice_in_dim(P_all, j, j + W, axis=1)  # [G, W, σ]
             scores = jnp.where(T > eps[span][:, :, None], T, NEG_INF)
             codes = jnp.broadcast_to(
                 jax.lax.broadcasted_iota(jnp.uint32, (1, 1, sigma), 2),
                 (G, W, sigma))
             lists[span] = (codes, scores, no_ovf)
-            continue
-        top = span == (0, k)
-        codes, scores, ovf = _combine(lists, span, eps[span], sigma=sigma,
-                                      bits=bits, caps=caps,
-                                      use_kernel=use_kernel, top=top)
-        overflow[span] = ovf
-        if top:
-            cl_sel, cr_sel = codes
-            ovf_spans = jnp.stack(
-                [overflow[s].any() for s in _spans(k)])[None, :]
-            ovf_ghosts = functools.reduce(jnp.logical_or, overflow.values())
-            return cl_sel, cr_sel, scores, ovf_spans, ovf_ghosts
-        lists[span] = (codes, scores, no_ovf)
+
+    # DIFFICULTY-SORTED windows (kernel path): the wide kernel's skipping
+    # is block-granular (each 128-lane block runs to ITS max horizon), so a
+    # heavy-tailed per-window work distribution pays the block max, not the
+    # mean. Sorting windows by an estimated work key clusters similar-cost
+    # windows into blocks; the permutation is undone on the final outputs,
+    # so results (values AND order) are bit-identical. Key: log2 product of
+    # per-column survivor counts at the geometric per-column threshold —
+    # the candidate-space upper bound of each window.
+    N = G * W
+    perm = inv = gids = None
+    if use_kernel and SORT_WINDOWS and N > 256:
+        cnt = jnp.sum(P_all > log_threshold / k, axis=2)        # [G, S]
+        lg = jnp.log2(jnp.maximum(cnt, 1).astype(jnp.float32))
+        cum = jnp.concatenate(
+            [jnp.zeros((G, 1), jnp.float32), jnp.cumsum(lg, axis=1)], axis=1)
+        key = (cum[:, k:] - cum[:, :-k]).reshape(N)             # [N]
+        perm = jnp.argsort(-key)
+        inv = jnp.argsort(perm)
+        gids = (perm // W).astype(jnp.int32)
+
+        def permute(x):
+            return x.reshape((N,) + x.shape[2:])[perm].reshape(x.shape)
+
+        for span in list(lists):
+            c, s, o = lists[span]
+            lists[span] = (permute(c), permute(s), o)
+        eps = {span: permute(e) for span, e in eps.items()}
+
+    # process staircase spans LEVEL by level. Same-shape spans of a level
+    # CAN run as one concatenated kernel dispatch (_combine_group takes a
+    # list), but measured on the real chip batching LOSES ~20% (aa_k8
+    # interleaved A/B: 139.7 ms grouped vs 114.5 ms ungrouped — the
+    # concatenations force extra HBM materialization that outweighs the
+    # saved dispatches), so GROUP_SPANS defaults off.
+    levels: Dict[Tuple[int, int], int] = {}
+
+    def level(j, h):
+        if (j, h) not in levels:
+            if h == 1:
+                levels[(j, h)] = 0
+            else:
+                hl = h // 2
+                levels[(j, h)] = 1 + max(level(j, hl),
+                                         level(j + hl, h - hl))
+        return levels[(j, h)]
+
+    level(0, k)
+    by_level: Dict[int, list] = {}
+    for span in _spans(k):
+        by_level.setdefault(levels[span], []).append(span)
+
+    for lv in sorted(by_level):
+        groups: Dict[tuple, list] = {}
+        for (j, h) in by_level[lv]:
+            hl = h // 2
+            sig = ((hl, h - hl, lists[(j, hl)][1].shape[2],
+                    lists[(j + hl, h - hl)][1].shape[2], caps[(j, h)])
+                   if GROUP_SPANS else (j, h))
+            groups.setdefault(sig, []).append((j, h))
+        for grp in groups.values():
+            ovf_of = None
+            if gids is not None:
+                def ovf_of(totals, cap_, gids=gids):
+                    # permuted rows: attribute overflow to the TRUE ghost
+                    flags = (totals.reshape(-1) > cap_).astype(jnp.int32)
+                    return (jnp.zeros((G,), jnp.int32).at[gids].max(flags)
+                            > 0)
+            results = _combine_group(lists, grp, eps, sigma=sigma,
+                                     bits=bits, caps=caps,
+                                     use_kernel=use_kernel, k=k,
+                                     ovf_of=ovf_of)
+            for span, (codes, scores, ovf) in results.items():
+                overflow[span] = ovf
+                if span == (0, k):
+                    cl_sel, cr_sel = codes
+                    if inv is not None:
+                        def unperm(x):
+                            return x.reshape((N,) + x.shape[2:])[inv
+                                       ].reshape(x.shape)
+                        cl_sel = unperm(cl_sel)
+                        cr_sel = unperm(cr_sel)
+                        scores = unperm(scores)
+                    ovf_spans = jnp.stack(
+                        [overflow[s].any() for s in _spans(k)])[None, :]
+                    ovf_ghosts = functools.reduce(jnp.logical_or,
+                                                  overflow.values())
+                    return cl_sel, cr_sel, scores, ovf_spans, ovf_ghosts
+                # per-span flags live in `overflow` only; descendants must
+                # not leak into an ancestor's ovf_spans slot (caps double
+                # per flagged span — resolve_deferred)
+                lists[span] = (codes, scores, no_ovf)
     raise AssertionError("unreachable")  # pragma: no cover
 
 

@@ -116,13 +116,26 @@ def build_database(p: BuildParams) -> Optional[BuildResult]:
             categories=p.categories, num_threads=p.num_threads,
             tree_file=ext_tree_file, alignment_file=phylip_path)
         if p.ar_dir:
-            software = "raxml-ng"  # replay only supports raxml-ng outputs
+            # replay: detect which tool produced the directory by suffix
+            # (raxml-ng first, then phyml — ``ar.cpp:599-640,497-537``)
+            software = "raxml-ng"
+            if (bridge._find_file_by_suffix(
+                    p.ar_dir, bridge.RaxmlWrapper.PROBS_SUFFIX) is None
+                    and os.path.isdir(p.ar_dir)
+                    and bridge._find_file_by_suffix(
+                        p.ar_dir, bridge.PhymlWrapper.MATRIX_SUFFIX)):
+                software = "phyml"
         else:
             binary = p.ar_binary or bridge.find_raxmlng()
             ar_params.binary_file = binary
             software = bridge.guess_software(binary, p.working_dir)
         probs_file, ar_tree_file = bridge.run_ancestral_reconstruction(
             software, ar_params)
+        if software == "phyml":
+            # the invocation/replay succeeds (parity with ar.cpp:481-582),
+            # but READING phyml posteriors is unsupported — the reference's
+            # reader throws the same way (``ar.cpp:77-81``)
+            raise RuntimeError("PhyML is not supported in this version.")
 
     if p.ar_only:
         if p.verbosity > 0:

@@ -158,3 +158,48 @@ def test_map_nodes_count_mismatch():
     t2 = parse_newick("(a:1,b:1)r;")
     with pytest.raises(RuntimeError, match="differ in the number of nodes"):
         map_nodes(t1, t2)
+
+
+def test_phyml_wrapper_parity(tmp_path):
+    """PhyML argv byte-parity (ar.cpp:550-563) + --ar-dir suffix replay
+    (ar.cpp:497-537); the pipeline then raises the reference's exact
+    reader error (ar.cpp:77-81)."""
+    from ipk_tpu.ar.bridge import ArParameters, PhymlWrapper
+
+    p = ArParameters(model="JTT", alpha=0.5, categories=4,
+                     tree_file="t.nwk", alignment_file="a.phylip")
+    assert PhymlWrapper(p).make_args() == [
+        "--ancestral", "--no_memory_check", "-i", "a.phylip", "-u", "t.nwk",
+        "-m", "JTT", "-c", "4", "-b", "0", "-v", "0.0", "-o", "r",
+        "-a", "0.5", "-f", "e", "--leave_duplicates"]
+
+    (tmp_path / "x_phyml_ancestral_seq.txt").write_text("seq")
+    (tmp_path / "x_phyml_ancestral_tree.txt").write_text("(a,b);")
+    p2 = ArParameters(ar_dir=str(tmp_path))
+    matrix, tree = PhymlWrapper(p2).run()
+    assert matrix.endswith("_phyml_ancestral_seq.txt")
+    assert tree.endswith("_phyml_ancestral_tree.txt")
+
+
+def test_phyml_ar_dir_rejected_at_read(tmp_path, dna_project_dir=None):
+    """A phyml --ar-dir replay must fail with the reference's message."""
+    import pytest
+    import pathlib
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from fixtures import make_project
+    from ipk_tpu.pipeline import BuildParams, build_database
+
+    tree_file, fasta_file, ar_dir = make_project(
+        pathlib.Path(tmp_path), num_leaves=6, width=30, seed=3)
+    phyml_dir = tmp_path / "phyml_ar"
+    phyml_dir.mkdir()
+    (phyml_dir / "a_phyml_ancestral_seq.txt").write_text("stub")
+    (phyml_dir / "a_phyml_ancestral_tree.txt").write_text("(a,b);")
+    params = BuildParams(
+        refalign=str(fasta_file), reftree=str(tree_file),
+        working_dir=str(tmp_path / "wd"), ar_dir=str(phyml_dir),
+        kmer_size=4, output_filename=str(tmp_path / "DB.ipk"), verbosity=0)
+    with pytest.raises(RuntimeError,
+                       match="PhyML is not supported in this version"):
+        build_database(params)

@@ -325,3 +325,24 @@ def test_device_mi_build_multibatch(dna_project, monkeypatch):
         np.testing.assert_allclose(dev.filter_values[i],
                                    host.filter_values[j], rtol=2e-5,
                                    atol=1e-7)
+
+
+def test_device_merge_overflow_reuses_enumeration(dna_project, monkeypatch):
+    """When the device key merge hits a bucket overflow, the builder must
+    fall back to the host merge REUSING the already-completed enumeration
+    (ADVICE r3) — not re-run stage 1 — and produce the identical DB."""
+    import ipk_tpu.builder as builder_mod
+    from ipk_tpu.parallel import key_merge as km
+    tmp, tree_file, fasta_file, ar_dir = dna_project
+    monkeypatch.setattr(builder_mod, "MAX_DENSE_KEYSPACE", 1)  # force sparse
+    ref = build_with(tmp, tree_file, fasta_file, ar_dir, "ovf_ref")
+
+    def blown(*a, **kw):
+        raise km.KeyMergeOverflow("forced bucket overflow (test)")
+    monkeypatch.setattr(km, "device_key_merge", blown)
+
+    def no_rerun(*a, **kw):
+        raise AssertionError("stage 1 was re-run instead of reused")
+    monkeypatch.setattr(builder_mod, "_enumerate_sparse_branches", no_rerun)
+    got = build_with(tmp, tree_file, fasta_file, ar_dir, "ovf_got")
+    assert_db_equal(ref, got)
