@@ -337,7 +337,7 @@ def _select_wide_kernel(eps_ref, sl_ref, cl_ref, sr_ref, cr_ref,
                         sls_ref, cls_ref, srs_ref, crs_ref,
                         offi_ref, offe_ref, *,
                         CL: int, CLp: int, CRp: int, cap_blk: int,
-                        sort_l: bool):
+                        sort_l: bool, sort_r: bool):
     cb = pl.program_id(1)
     wb = eps_ref.shape[1]
     eps_row = eps_ref[0:1, :]               # [1, wb]
@@ -353,7 +353,12 @@ def _select_wide_kernel(eps_ref, sl_ref, cl_ref, sr_ref, cr_ref,
             sls, cls = sl_ref[...], cl_ref[...]
         sls_ref[...] = sls
         cls_ref[...] = cls
-        srs, crs = _bitonic_sublanes(sr_ref[...], cr_ref[...], CRp)
+        if sort_r:
+            srs, crs = _bitonic_sublanes(sr_ref[...], cr_ref[...], CRp)
+        else:
+            # caller pre-sorted R in XLA (the VMEM-relief route for
+            # oversize child widths — see staircase_wide_max_cap_blk)
+            srs, crs = sr_ref[...], cr_ref[...]
         srs_ref[...] = srs
         crs_ref[...] = crs
 
@@ -452,20 +457,24 @@ def _next_pow2(n: int) -> int:
     return p
 
 
-def staircase_wide_max_cap_blk(CL: int, CR: int,
+def staircase_wide_max_cap_blk(CL: int, CR: int, sort_l: bool = True,
+                               sort_r: bool = True,
                                vmem_budget: int = 10 << 20) -> int:
     """Largest cap block (multiple of 128) the wide kernel can allocate for
     these child widths without tripping the ~16 MB scoped-VMEM ceiling.
-    Model (measured against the compiler's stack accounting, with headroom):
-    double-buffered input blocks + persistent scratch + bitonic temporaries
-    scale with CLp/CRp; outputs double-buffer per cap row. Returns 0 when
+    Model (calibrated against the compiler's stack accounting — a
+    CLp=CRp=1024 sort-both case allocates 17.8 MB, of which the unrolled
+    bitonic networks' live temporaries are the dominant unmodeled term):
+    double-buffered input blocks + persistent scratch + ~8 live rows per
+    sorted operand row; outputs double-buffer per cap row. Returns 0 when
     even cap_blk=128 cannot fit — the caller must use the XLA fallback."""
     CLp = max(128, _next_pow2(CL))
     CRp = max(8, _next_pow2(CR))
     lane_bytes = 128 * 4
+    bitonic_rows = (CLp if sort_l else 0) + (CRp if sort_r else 0)
     fixed = (2 * (2 * CLp + 2 * CRp)      # in blocks, double-buffered
              + (4 * CLp + 2 * CRp)        # persistent scratch
-             + 4 * CLp                    # bitonic roll temporaries
+             + 8 * bitonic_rows           # bitonic live temporaries
              + 16) * lane_bytes
     if fixed >= vmem_budget:
         return 0
@@ -474,11 +483,11 @@ def staircase_wide_max_cap_blk(CL: int, CR: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cap", "sort_l", "interpret"))
+                   static_argnames=("cap", "sort_l", "sort_r", "interpret"))
 def staircase_select_wide(sL: jnp.ndarray, cL: jnp.ndarray,
                           sR: jnp.ndarray, cR: jnp.ndarray,
                           eps: jnp.ndarray, *, cap: int,
-                          sort_l: bool = True,
+                          sort_l: bool = True, sort_r: bool = True,
                           interpret: bool | None = None):
     """Capacity-bounded threshold combine of two UNSORTED survivor lists.
 
@@ -503,7 +512,9 @@ def staircase_select_wide(sL: jnp.ndarray, cL: jnp.ndarray,
     Np = -(-N // 128) * 128
     CLp = max(128, _next_pow2(CL))   # pow2: the bitonic network needs it;
     CRp = max(8, _next_pow2(CR))     # >=128 for the MXU cumsum tiles
-    cap_blk = min(cap, 1024, staircase_wide_max_cap_blk(CL, CR))
+    cap_blk = min(cap, 1024,
+                  staircase_wide_max_cap_blk(CL, CR, sort_l=sort_l,
+                                             sort_r=sort_r))
     if cap_blk < 128:
         raise ValueError(
             f"staircase_select_wide: lists CL={CL} CR={CR} exceed the VMEM "
@@ -541,7 +552,8 @@ def staircase_select_wide(sL: jnp.ndarray, cL: jnp.ndarray,
     epsw = jnp.broadcast_to(epsf[None, :], (8, Np))
 
     kernel = functools.partial(_select_wide_kernel, CL=CL, CLp=CLp,
-                               CRp=CRp, cap_blk=cap_blk, sort_l=sort_l)
+                               CRp=CRp, cap_blk=cap_blk, sort_l=sort_l,
+                               sort_r=sort_r)
     out_shape = [jax.ShapeDtypeStruct((cap_pad, Np), jnp.float32),
                  jax.ShapeDtypeStruct((cap_pad, Np), jnp.int32),
                  jax.ShapeDtypeStruct((cap_pad, Np), jnp.int32),

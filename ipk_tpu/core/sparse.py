@@ -410,12 +410,26 @@ def _combine_group(lists, spans, eps, *, sigma: int, bits: int,
 
     from .pallas_kernels import staircase_wide_max_cap_blk
     kCL, kCR = (CR, CL) if swap else (CL, CR)
-    if (use_kernel and max(CL, CR) <= _KERNEL_MAX_CL
-            and out_cap % 128 == 0 and out_cap <= _KERNEL_MAX_CAP
-            and staircase_wide_max_cap_blk(kCL, kCR) >= 128):
+    shape_ok = (use_kernel and max(CL, CR) <= _KERNEL_MAX_CL
+                and out_cap % 128 == 0 and out_cap <= _KERNEL_MAX_CAP)
+    if (shape_ok
+            and staircase_wide_max_cap_blk(kCL, kCR, sort_l=sort_l) >= 128):
         from .pallas_kernels import staircase_select_wide
         ag, bg, scores, totals = staircase_select_wide(
             a_s, a_c, b_s, b_c, eps_cat, cap=out_cap, sort_l=sort_l)
+    elif (shape_ok
+            and staircase_wide_max_cap_blk(kCL, kCR, sort_l=False,
+                                           sort_r=False) >= 128):
+        # oversize children: the in-VMEM bitonic temporaries would trip the
+        # scoped-VMEM ceiling — pre-sort in XLA and run the kernel with the
+        # sorts disabled (identical emission; one extra sort dispatch)
+        from .pallas_kernels import staircase_select_wide
+        if sort_l:
+            a_c, a_s = _sort_desc(a_c, a_s)
+        b_c, b_s = _sort_desc(b_c, b_s)
+        ag, bg, scores, totals = staircase_select_wide(
+            a_s, a_c, b_s, b_c, eps_cat, cap=out_cap, sort_l=False,
+            sort_r=False)
     else:
         if sort_l:
             a_c, a_s = _sort_desc(a_c, a_s)

@@ -132,3 +132,27 @@ def test_sparse_path_kernel_bitequal_fallback(k, sigma, bits, cap, omega):
     np.testing.assert_array_equal(c0, c1)
     np.testing.assert_array_equal(s0, s1)
     np.testing.assert_array_equal(o0, o1)
+
+
+def test_wide_kernel_presorted_route():
+    """sort_r=False (the VMEM-relief route for oversize children): inputs
+    pre-sorted in XLA, kernel sorts nothing — output must be identical to
+    the in-kernel-sort call."""
+    rng = np.random.default_rng(9)
+    G, W, CL, CR, cap = 1, 6, 100, 150, 256
+    sL = rng.uniform(-6, 0, (G, W, CL)).astype(np.float32)
+    sR = rng.uniform(-6, 0, (G, W, CR)).astype(np.float32)
+    cL = rng.permutation(CL * W).astype(np.uint32).reshape(G, W, CL)
+    cR = rng.permutation(CR * W).astype(np.uint32).reshape(G, W, CR)
+    eps = rng.uniform(-4.2, -4.0, (G, W)).astype(np.float32)
+    ref = staircase_select_wide(
+        jnp.asarray(sL), jnp.asarray(cL), jnp.asarray(sR), jnp.asarray(cR),
+        jnp.asarray(eps), cap=cap, sort_l=True, interpret=True)
+    cLs, sLs = sparse_mod._sort_desc(jnp.asarray(cL), jnp.asarray(sL))
+    cRs, sRs = sparse_mod._sort_desc(jnp.asarray(cR), jnp.asarray(sR))
+    got = staircase_select_wide(
+        sLs, cLs, sRs, cRs, jnp.asarray(eps), cap=cap,
+        sort_l=False, sort_r=False, interpret=True)
+    for name, a, b in zip(("cl", "cr", "scores", "totals"),
+                          map(np.asarray, got), map(np.asarray, ref)):
+        np.testing.assert_array_equal(a, b, err_msg=name)
