@@ -132,6 +132,35 @@ class BuildResult:
         self.timings = timings
 
 
+def _prefetch(gen: Iterator, depth: int = 1) -> Iterator:
+    """Run the batch generator one step ahead in a worker thread so the
+    next batch's device dispatch + device→host transfer overlap with the
+    main thread's extraction. Through a remote-tunnel runtime the transfer
+    is a large, GIL-releasing fraction of stage 1; overlapping it with the
+    numpy extraction is close to free wall time."""
+    import queue
+    import threading
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+            q.put(sentinel)
+        except BaseException as e:          # surfaced in the consumer
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 # ---------------------------------------------------------------------------
 # stage 1: enumeration (batched over the key space)
 # ---------------------------------------------------------------------------
@@ -220,6 +249,17 @@ def _enumerate_batches(P_all: np.ndarray, prefix_all: np.ndarray, *,
         else:
             A, cnt = combine(Lb, R)
             count = int(np.asarray(cnt).sum())
+            # survivor density decides the transfer representation: the
+            # compacted (idx, score) stream costs 8 B/survivor vs the dense
+            # accumulator's 4 B/cell, so past 50% density the dense tensor
+            # is the smaller transfer — and through a remote-tunnel runtime
+            # the device→host link IS the full-build bottleneck
+            import jax.numpy as jnp
+            n_surv = int(np.asarray(jnp.isfinite(A[:B0]).sum()))
+            if n_surv * 2 > A[:B0].size:
+                yield ("dense", b * step * nr, np.asarray(A[:B0]), None,
+                       count)
+                continue
             # compact the TRANSPOSED accumulator: row-major flat indices
             # over [chunk, B] are key-major with groups ascending within a
             # key — exactly the DB's required entry order, so the host
@@ -457,13 +497,17 @@ def _extract_batch(A: np.ndarray, lo: int, pos: Optional[np.ndarray],
     keys = dense_index_to_key(cols.astype(np.uint64) + np.uint64(lo),
                               k, traits)
 
-    MT = mask[:, cols].T
-    key_rows, branch_rows = np.nonzero(MT)
+    # LINEAR masked compressions instead of np.nonzero + 8M-wide fancy
+    # gathers: at full-build scale the old double-index path was the single
+    # hottest host stage (profiled 5.5 s of an 11 s warm build)
+    MT = np.ascontiguousarray(mask[:, cols].T)   # [K', B]
+    flat = MT.ravel()
     counts = MT.sum(axis=1)
-    branches = np.asarray(group_ids, dtype=np.uint32)[branch_rows]
-    scores = A[branch_rows, cols[key_rows]].astype(np.float32)
-    positions = (pos[branch_rows, cols[key_rows]].astype(np.uint32)
-                 if pos is not None else None)
+    branches = np.broadcast_to(
+        np.asarray(group_ids, dtype=np.uint32), MT.shape).ravel()[flat]
+    scores = np.ascontiguousarray(A[:, cols].T).ravel()[flat]
+    positions = (np.ascontiguousarray(pos[:, cols].T).ravel()[flat]
+                 .astype(np.uint32) if pos is not None else None)
 
     if fv_override is not None:
         # distributed device MI (f32): values per dense key index
@@ -472,8 +516,11 @@ def _extract_batch(A: np.ndarray, lo: int, pos: Optional[np.ndarray],
         # entries-based filter: the single mif0 implementation shared by the
         # dense, compacted and sparse paths (identical f64 summation order →
         # identical filter values and therefore identical DB ordering)
-        fv = mif0_filter_values_entries(scores, key_rows, len(cols),
-                                        total_num_groups, threshold)
+        offsets = np.zeros(len(cols) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        fv = mif0_filter_values_entries(scores, None, len(cols),
+                                        total_num_groups, threshold,
+                                        offsets=offsets)
     elif filter_type == "random":
         fv = rng_stream.take(len(cols)).astype(np.float64)
     else:
@@ -492,6 +539,11 @@ def _extract_compact(flat_idx: np.ndarray, scores: np.ndarray, B: int,
     accumulator [chunk, B] — ascending flat index is already key-major with
     groups ascending within a key (the DB's entry order), so no host sort
     is needed on this path."""
+    # materialize ONCE: every numpy op on a still-on-device jax array
+    # triggers a fresh device→host transfer of the whole column (measured
+    # 3x the stage time through the tunnel runtime)
+    flat_idx = np.asarray(flat_idx)
+    scores = np.asarray(scores, dtype=np.float32)
     # flat_idx stays int32 (pick_key_batches guarantees chunk*B < 2^31);
     # divmod in one pass, no int64 upcast copies
     key_local, b_rows = np.divmod(flat_idx, np.int32(B))
@@ -651,6 +703,16 @@ def build(original_tree: PhyloTree,
     nl, nr = sigma ** hl, sigma ** (kmer_size - hl)
     if key_batches is None:
         key_batches = pick_key_batches(len(groups), nl, nr)
+        # transfer/extract pipelining (see _prefetch): split big dense
+        # accumulators into a few batches even when memory alone would not
+        # require it, so the next batch's device→host transfer overlaps
+        # the current batch's host extraction
+        if (not keep_positions
+                and len(groups) * nl * nr * 4 > (16 << 20)):
+            for cand in (4, 2):
+                if key_batches < cand and nl % cand == 0:
+                    key_batches = cand
+                    break
     threshold = score_threshold(omega, sigma, kmer_size)
     rng_stream = RandomFilterStream() if filter_type == "random" else None
 
@@ -773,7 +835,7 @@ def build(original_tree: PhyloTree,
         handle_part(0, sparse_part)
     bar = _Progress("Computing phylo-k-mers",
                     0 if use_sparse else key_batches, verbose >= 1)
-    for batch_idx, batch in enumerate(batches):
+    for batch_idx, batch in enumerate(_prefetch(batches)):
         if batch[0] == "dense":
             _, lo, A, pos, count = batch
             num_explored += count
