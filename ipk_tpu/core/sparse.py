@@ -745,6 +745,16 @@ def enumerate_sparse_many(P_all, prefix_all, log_threshold, *, k: int,
     re-run because a span capacity doubled — probe misses) and "final_caps"
     (the settled per-span capacities).
     """
+    if bits * (k - k // 2) > 32:
+        # mid-span codes are uint32 on device; the widest span is the
+        # top's right child (⌈k/2⌉ symbols). AA k=13 would need 35 bits —
+        # and 13·5 = 65 bits would not even fit the reference's own 64-bit
+        # keys (seq.py caps AA at k=12 for the same reason). Guard here so
+        # direct library callers fail loudly instead of silently
+        # truncating codes (verified wrong vs the oracle at AA k=13).
+        raise ValueError(
+            f"k={k} at {bits} bits/symbol exceeds the 32-bit half-window "
+            f"code budget (max k: {2 * (32 // bits)} for this alphabet)")
     P_all = np.asarray(P_all, dtype=np.float32)
     prefix_all = np.asarray(prefix_all, dtype=np.float32)
     G, S = P_all.shape[0], P_all.shape[1]

@@ -168,3 +168,16 @@ def test_skewed_hot_window_bounded_redispatch():
     import math
     bound = len(_spans(k)) * (int(math.log2(cap // 128)) + 1)
     assert 1 <= stats.get("redispatches", 0) <= bound, stats
+
+
+def test_sparse_rejects_over_wide_half_windows():
+    """AA k=13 would need 35-bit half-window codes (and 65-bit keys) —
+    the library API must fail loudly, not truncate (the CLI already
+    rejects it via seq traits max_kmer_length)."""
+    from ipk_tpu.core.sparse import enumerate_sparse_many
+
+    P = np.zeros((1, 20, 20), np.float32)
+    prefix = dense.best_score_prefix(P)
+    with pytest.raises(ValueError, match="half-window code budget"):
+        enumerate_sparse_many(P, prefix, np.float32(-1), k=13, sigma=20,
+                              bits=5, cap=128)
