@@ -337,7 +337,7 @@ def _select_wide_kernel(eps_ref, sl_ref, cl_ref, sr_ref, cr_ref,
                         sls_ref, cls_ref, srs_ref, crs_ref,
                         offi_ref, offe_ref, *,
                         CL: int, CLp: int, CRp: int, cap_blk: int,
-                        sort_l: bool, sort_r: bool):
+                        sort_l: bool, sort_r: bool, compact_r: bool):
     cb = pl.program_id(1)
     wb = eps_ref.shape[1]
     eps_row = eps_ref[0:1, :]               # [1, wb]
@@ -353,18 +353,51 @@ def _select_wide_kernel(eps_ref, sl_ref, cl_ref, sr_ref, cr_ref,
             sls, cls = sl_ref[...], cl_ref[...]
         sls_ref[...] = sls
         cls_ref[...] = cls
-        if sort_r:
-            srs, crs = _bitonic_sublanes(sr_ref[...], cr_ref[...], CRp)
-        else:
+        if not sort_r:
             # caller pre-sorted R in XLA (the VMEM-relief route for
             # oversize child widths — see staircase_wide_max_cap_blk)
-            srs, crs = sr_ref[...], cr_ref[...]
-        srs_ref[...] = srs
-        crs_ref[...] = crs
+            srs_ref[...] = sr_ref[...]
+            crs_ref[...] = cr_ref[...]
+        elif compact_r and CRp >= 256:
+            # R is a COMPACT staircase output (all live entries in each
+            # lane's prefix): when no lane in the block has more than
+            # CRp/2 live rows, the half-width network sorts everything
+            # that will ever be read (count/extraction loops stop at the
+            # live horizon) at ~2.5x less VPU work
+            sr_all = sr_ref[...]
+            cr_all = cr_ref[...]
+            alive = jnp.sum((sr_all > NEG_INF).astype(jnp.int32), axis=0)
+            half = CRp // 2
+
+            @pl.when(jnp.max(alive) <= half)
+            def _():
+                top_s = jax.lax.slice(sr_all, (0, 0), (half, sr_all.shape[1]))
+                top_c = jax.lax.slice(cr_all, (0, 0), (half, cr_all.shape[1]))
+                hs, hc = _bitonic_sublanes(top_s, top_c, half)
+                srs_ref[0:half, :] = hs
+                crs_ref[0:half, :] = hc
+                srs_ref[half:, :] = jax.lax.slice(
+                    sr_all, (half, 0), (CRp, sr_all.shape[1]))
+                crs_ref[half:, :] = jax.lax.slice(
+                    cr_all, (half, 0), (CRp, cr_all.shape[1]))
+
+            @pl.when(jnp.max(alive) > half)
+            def _():
+                fs, fc = _bitonic_sublanes(sr_all, cr_all, CRp)
+                srs_ref[...] = fs
+                crs_ref[...] = fc
+        else:
+            srs, crs = _bitonic_sublanes(sr_ref[...], cr_ref[...], CRp)
+            srs_ref[...] = srs
+            crs_ref[...] = crs
 
         # 1.+2. per-i-tile counts (the tile's max row bounds its j horizon;
         # with L sorted that is its top row) fused with the MXU offset
-        # cumsum + carry
+        # cumsum + carry. Operands re-read from scratch: the sort section
+        # above has data-dependent branches, so the sorted values exist
+        # only behind the refs.
+        sls = sls_ref[...]
+        srs = srs_ref[...]
         r128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
         c128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
         lower_incl = (r128 >= c128).astype(jnp.float32)
@@ -483,11 +516,13 @@ def staircase_wide_max_cap_blk(CL: int, CR: int, sort_l: bool = True,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cap", "sort_l", "sort_r", "interpret"))
+                   static_argnames=("cap", "sort_l", "sort_r", "compact_r",
+                                    "interpret"))
 def staircase_select_wide(sL: jnp.ndarray, cL: jnp.ndarray,
                           sR: jnp.ndarray, cR: jnp.ndarray,
                           eps: jnp.ndarray, *, cap: int,
                           sort_l: bool = True, sort_r: bool = True,
+                          compact_r: bool = False,
                           interpret: bool | None = None):
     """Capacity-bounded threshold combine of two UNSORTED survivor lists.
 
@@ -553,7 +588,7 @@ def staircase_select_wide(sL: jnp.ndarray, cL: jnp.ndarray,
 
     kernel = functools.partial(_select_wide_kernel, CL=CL, CLp=CLp,
                                CRp=CRp, cap_blk=cap_blk, sort_l=sort_l,
-                               sort_r=sort_r)
+                               sort_r=sort_r, compact_r=compact_r)
     out_shape = [jax.ShapeDtypeStruct((cap_pad, Np), jnp.float32),
                  jax.ShapeDtypeStruct((cap_pad, Np), jnp.int32),
                  jax.ShapeDtypeStruct((cap_pad, Np), jnp.int32),

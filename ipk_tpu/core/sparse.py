@@ -364,7 +364,7 @@ def _policy(CL: int, CR: int, cap: int) -> Tuple[bool, bool]:
 
 def _combine_group(lists, spans, eps, *, sigma: int, bits: int,
                    caps: Dict[Tuple[int, int], int], use_kernel: bool,
-                   k: int, ovf_of=None):
+                   k: int, ovf_of=None, compact=None):
     """Build one or more SAME-SHAPE spans' survivor lists from their
     children — same-shape staircases are concatenated along the ghost axis
     and run as ONE kernel dispatch (per-window arithmetic is lane-local, so
@@ -394,6 +394,13 @@ def _combine_group(lists, spans, eps, *, sigma: int, bits: int,
         return out
 
     swap, sort_l = _policy(CL, CR, out_cap)
+    # the sorted operand is COMPACT (live entries prefix-packed per window)
+    # when it is itself a staircase output — the kernel then picks a
+    # half-width sort network whenever a block's live horizon allows
+    compact_r = bool(compact and all(
+        compact.get((j, h // 2) if swap else (j + h // 2, h - h // 2),
+                    False)
+        for (j, h) in spans))
 
     def pick(ch):
         (cl, sl, _), (cr, sr, _) = ch
@@ -416,7 +423,8 @@ def _combine_group(lists, spans, eps, *, sigma: int, bits: int,
             and staircase_wide_max_cap_blk(kCL, kCR, sort_l=sort_l) >= 128):
         from .pallas_kernels import staircase_select_wide
         ag, bg, scores, totals = staircase_select_wide(
-            a_s, a_c, b_s, b_c, eps_cat, cap=out_cap, sort_l=sort_l)
+            a_s, a_c, b_s, b_c, eps_cat, cap=out_cap, sort_l=sort_l,
+            compact_r=compact_r)
     elif (shape_ok
             and staircase_wide_max_cap_blk(kCL, kCR, sort_l=False,
                                            sort_r=False) >= 128):
@@ -483,6 +491,9 @@ def _pairs_device(P_all, prefix_all, log_threshold, *, k: int, sigma: int,
 
     lists: Dict[Tuple[int, int], tuple] = {}
     overflow: Dict[Tuple[int, int], jnp.ndarray] = {}
+    #: spans whose lists are staircase outputs (live entries prefix-packed
+    #: per window) — enables the kernel's half-width sort fast path
+    compact: Dict[Tuple[int, int], bool] = {}
     no_ovf = jnp.zeros((G,), dtype=bool)
     for (j, h) in split_tree(k):
         if h == 1:
@@ -493,6 +504,7 @@ def _pairs_device(P_all, prefix_all, log_threshold, *, k: int, sigma: int,
                 jax.lax.broadcasted_iota(jnp.uint32, (1, 1, sigma), 2),
                 (G, W, sigma))
             lists[span] = (codes, scores, no_ovf)
+            compact[span] = False
 
     # DIFFICULTY-SORTED windows (kernel path): the wide kernel's skipping
     # is block-granular (each 128-lane block runs to ITS max horizon), so a
@@ -564,7 +576,7 @@ def _pairs_device(P_all, prefix_all, log_threshold, *, k: int, sigma: int,
             results = _combine_group(lists, grp, eps, sigma=sigma,
                                      bits=bits, caps=caps,
                                      use_kernel=use_kernel, k=k,
-                                     ovf_of=ovf_of)
+                                     ovf_of=ovf_of, compact=compact)
             for span, (codes, scores, ovf) in results.items():
                 overflow[span] = ovf
                 if span == (0, k):
@@ -585,6 +597,11 @@ def _pairs_device(P_all, prefix_all, log_threshold, *, k: int, sigma: int,
                 # not leak into an ancestor's ovf_spans slot (caps double
                 # per flagged span — resolve_deferred)
                 lists[span] = (codes, scores, no_ovf)
+                j_, h_ = span
+                hl_ = h_ // 2
+                csize = (lists[(j_, hl_)][1].shape[2]
+                         * lists[(j_ + hl_, h_ - hl_)][1].shape[2])
+                compact[span] = csize > caps[span]
     raise AssertionError("unreachable")  # pragma: no cover
 
 

@@ -156,3 +156,30 @@ def test_wide_kernel_presorted_route():
     for name, a, b in zip(("cl", "cr", "scores", "totals"),
                           map(np.asarray, got), map(np.asarray, ref)):
         np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_wide_kernel_compact_r_half_sort():
+    """compact_r: prefix-packed R lists may take the half-width sort
+    network — output must equal the full-sort call on both branches
+    (alive <= half and alive > half blocks)."""
+    rng = np.random.default_rng(21)
+    G, W, CL, CR, cap = 1, 6, 40, 300, 256   # CRp = 512 >= 256
+    sL = rng.uniform(-6, 0, (G, W, CL)).astype(np.float32)
+    sR = np.full((G, W, CR), -np.inf, np.float32)
+    cR = np.zeros((G, W, CR), np.uint32)
+    for w in range(W):
+        # vary live prefix length: some windows far below CRp/2, one above
+        n = 250 if w == 3 else 40 + 10 * w
+        sR[0, w, :n] = rng.uniform(-6, 0, n).astype(np.float32)
+        cR[0, w, :n] = rng.permutation(1000)[:n].astype(np.uint32) + 1
+    cL = rng.permutation(CL * W).astype(np.uint32).reshape(G, W, CL)
+    eps = rng.uniform(-4.4, -4.2, (G, W)).astype(np.float32)
+    args = (jnp.asarray(sL), jnp.asarray(cL), jnp.asarray(sR),
+            jnp.asarray(cR), jnp.asarray(eps))
+    ref = staircase_select_wide(*args, cap=cap, sort_l=False,
+                                interpret=True)
+    got = staircase_select_wide(*args, cap=cap, sort_l=False,
+                                compact_r=True, interpret=True)
+    for name, a, b in zip(("cl", "cr", "scores", "totals"),
+                          map(np.asarray, got), map(np.asarray, ref)):
+        np.testing.assert_array_equal(a, b, err_msg=name)
