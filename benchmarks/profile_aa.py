@@ -9,8 +9,6 @@ Times each piece of the sparse path separately on the real device:
 to find where the 11-24 us/window goes.
 """
 
-import functools
-import json
 import os
 import sys
 import time

@@ -416,7 +416,7 @@ def full_build_bench(num_leaves=64, width=400, k=8, omega=1.5, reps=5):
     sys.path.insert(0, os.path.join(REPO, "tests"))
     from fixtures import make_project
     from ipk_tpu.pipeline import BuildParams, build_database
-    from ipk_tpu import alignment as aln, tree as tr
+    from ipk_tpu import tree as tr
     from ipk_tpu.ar.mapping import gather_ghost_tensor, ghost_groups, map_nodes
     from ipk_tpu.ar.reader import read_ancestral_probs
     from ipk_tpu.seq import DNA

@@ -30,7 +30,6 @@ with per-node rescaling in log space; everything per-site is batched
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Dict, List, Optional, Tuple
 
 import jax

@@ -34,7 +34,7 @@ import functools
 import os
 import shutil
 import time
-from typing import Dict, Iterator, List, Optional, Tuple
+from typing import Dict, Iterator, List, Optional
 
 import jax
 import numpy as np

@@ -43,7 +43,7 @@ import io
 import os
 import struct
 import zlib
-from typing import BinaryIO, Iterator, List, Optional, Tuple
+from typing import BinaryIO, Iterator, List, Optional
 
 import numpy as np
 
