@@ -226,23 +226,30 @@ def main():
     rng = np.random.default_rng(7)
 
     def record(name, entry):
-        # MERGE with the existing artifact: speedup rows append to the
-        # row's run history and keep the best complete paired run as the
-        # headline (baselines on this shared host vary ~20% between
-        # sessions; overwriting would silently pick whichever end of the
-        # band the current session landed on)
+        # MERGE with the existing artifact: speedup rows append the new
+        # complete pairing to the row's run history and report the MEDIAN
+        # pairing as the headline (r4 verdict item 3 — the baseline on this
+        # shared host varies ~20% between sessions; best-of over-reported,
+        # overwriting would pick whichever end of the band this session hit)
         old = results.get(name)
         if (isinstance(old, dict) and "speedup" in old
                 and "speedup" in entry):
-            runs = old.get("runs", [])
-            runs.append({k: entry[k] for k in
-                         ("tuples_per_sec", "baseline_tuples_per_sec",
-                          "speedup", "baseline_samples") if k in entry})
-            best = entry if entry["speedup"] > old["speedup"] else old
-            merged = {k: v for k, v in best.items() if k != "runs"}
+            strip = lambda e: {k: v for k, v in e.items()
+                               if k not in ("runs", "note")}
+            runs = old.get("runs")
+            if runs is None:
+                runs = [strip(old)]          # pre-history artifact: the old
+            elif not any(abs(r["speedup"] - old["speedup"]) < 1e-12
+                         for r in runs):     # headline must be a run too
+                runs.insert(0, strip(old))
+            runs.append(strip(entry))
+            med = sorted(runs, key=lambda r: r["speedup"])[(len(runs) - 1)
+                                                           // 2]
+            merged = strip(entry)            # fresh metadata fields
+            merged.update(med)               # headline metrics = the median
             merged["runs"] = runs
-            merged.setdefault("note", "headline = best complete paired "
-                              "run; all runs recorded")
+            merged["note"] = ("headline = median of recorded complete "
+                              "pairings; every run kept in `runs`")
             entry = merged
         results[name] = entry
         print(name, json.dumps(entry), flush=True)

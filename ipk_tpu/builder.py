@@ -621,8 +621,8 @@ def _apply_range_gather(offs, counts, order, branches, scores, positions):
             pos_out_p = pos_out.ctypes.data_as(u32p)
         else:
             pos_out, pos_in_p, pos_out_p = None, u32p(), u32p()
-        nthreads = int(os.environ.get("IPK_TPU_FILTER_THREADS",
-                                      min(os.cpu_count() or 1, 16)))
+        from .utils.threads import host_threads
+        nthreads = host_threads("IPK_TPU_FILTER_THREADS")
         lib.ipk_range_gather_apply(
             offs.ctypes.data_as(i64p), counts.ctypes.data_as(i64p),
             order.ctypes.data_as(i64p), new_offsets.ctypes.data_as(i64p),

@@ -122,7 +122,11 @@ def ipk():
               help="Gradient steps for --ar-optimize.")
 @click.option("--keep-positions", is_flag=True, default=False)
 @click.option("--uncompressed", is_flag=True, default=False)
-@click.option("--threads", type=int, default=1, show_default=True)
+@click.option("--threads", type=int, default=0, show_default=True,
+              help="Host threads for the native filter, deflate and gather "
+                   "pools AND the AR subprocess. 0 = auto (all cores). The "
+                   "reference forwards --threads to AR only; here N pins "
+                   "every host pool (env IPK_TPU_THREADS overrides).")
 @click.option("--output", "-o", help="Output file name")
 @click.option("--on-disk", is_flag=True, default=False, show_default=True)
 @click.option("--max-candidates", type=int, default=4096, show_default=True,

@@ -136,8 +136,8 @@ def mif0_filter_values_entries(entry_scores: np.ndarray,
             offsets = np.ascontiguousarray(offsets, dtype=np.int64)
             scores32 = np.ascontiguousarray(entry_scores, dtype=np.float32)
             fv = np.empty(num_keys, dtype=np.float64)
-            nthreads = int(os.environ.get("IPK_TPU_FILTER_THREADS",
-                                          min(os.cpu_count() or 1, 16)))
+            from ..utils.threads import host_threads
+            nthreads = host_threads("IPK_TPU_FILTER_THREADS")
             lib.ipk_mif0_entries(
                 scores32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                 offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -163,21 +163,54 @@ def mif0_filter_values_entries(entry_scores: np.ndarray,
     return fv
 
 
+_MINSTD_M = np.uint64(2147483647)
+_MINSTD_A = np.uint64(16807)
+_MINSTD_R = np.float64(2147483646.0)   # engine range + 1
+_MINSTD_BLOCK = 1 << 17                # engine steps per vector block
+_minstd_pows: Optional[np.ndarray] = None
+
+
+def _minstd_power_table() -> np.ndarray:
+    """``[a^1, a^2, ..., a^B] mod m`` built by vector doubling (log2 B
+    steps): ``a^(k+1+i) = a^k * a^(1+i)``.  Products of two values < 2^31
+    fit u64, so plain ``%`` is exact."""
+    global _minstd_pows
+    if _minstd_pows is None:
+        p = np.empty(_MINSTD_BLOCK, dtype=np.uint64)
+        p[0] = _MINSTD_A
+        k = 1
+        while k < _MINSTD_BLOCK:
+            j = min(k, _MINSTD_BLOCK - k)
+            p[k:k + j] = (p[:j] * p[k - 1]) % _MINSTD_M
+            k += j
+        _minstd_pows = p
+    return _minstd_pows
+
+
+def _minstd_draws(x: np.uint64, n: int):
+    """``n`` uniform(0,1) doubles from engine state ``x`` (vectorized jump:
+    state_j = x * a^j mod m), plus the advanced state.  Bit-identical to the
+    scalar generate_canonical loop — the float math is the same IEEE ops
+    elementwise."""
+    pows = _minstd_power_table()
+    out = np.empty(n, dtype=np.float64)
+    done = 0
+    while done < n:
+        take = min(n - done, _MINSTD_BLOCK // 2)
+        states = (pows[:2 * take] * x) % _MINSTD_M
+        d1 = (states[0::2] - np.uint64(1)).astype(np.float64)
+        d2 = (states[1::2] - np.uint64(1)).astype(np.float64)
+        out[done:done + take] = (d1 + d2 * _MINSTD_R) / (_MINSTD_R * _MINSTD_R)
+        x = states[-1]
+        done += take
+    return out, x
+
+
 def minstd0_uniform_stream(n: int, seed: int = 42) -> np.ndarray:
     """First n doubles of libstdc++ ``uniform_real_distribution<double>(0,1)``
     over ``minstd_rand0(seed)``: two engine draws per double via
     generate_canonical, sum/factor arithmetic in float64."""
-    out = np.empty(n, dtype=np.float64)
-    x = np.uint64(seed)
-    m = np.uint64(2147483647)
-    a = np.uint64(16807)
-    r = np.float64(2147483646.0)  # engine range + 1
-    for i in range(n):
-        x = (x * a) % m
-        d1 = np.float64(x - np.uint64(1))
-        x = (x * a) % m
-        d2 = np.float64(x - np.uint64(1))
-        out[i] = (d1 + d2 * r) / (r * r)
+    out, _ = _minstd_draws(np.uint64(seed), n)
     return out
 
 
@@ -195,20 +228,9 @@ class RandomFilterStream:
 
     def __init__(self, seed: int = 42):
         self._x = np.uint64(seed)
-        self._m = np.uint64(2147483647)
-        self._a = np.uint64(16807)
-        self._r = np.float64(2147483646.0)
 
     def take(self, n: int) -> np.ndarray:
-        out = np.empty(n, dtype=np.float64)
-        x, m, a, r = self._x, self._m, self._a, self._r
-        for i in range(n):
-            x = (x * a) % m
-            d1 = np.float64(x - np.uint64(1))
-            x = (x * a) % m
-            d2 = np.float64(x - np.uint64(1))
-            out[i] = (d1 + d2 * r) / (r * r)
-        self._x = x
+        out, self._x = _minstd_draws(self._x, n)
         return out.astype(np.float32)
 
 

@@ -65,11 +65,16 @@ class BuildParams:
     uncompressed: bool = False
     on_disk: bool = False
     device_mi: bool = False      # pod-scale: keep the MI filter on device
-    num_threads: int = 1
+    num_threads: int = 0         # 0 = auto; N pins every host pool AND the
+                                 # AR subprocess (the reference forwards
+                                 # --threads to AR only, command_line.cpp:123)
     verbosity: int = 1
 
 
 def build_database(p: BuildParams) -> Optional[BuildResult]:
+    from .utils.threads import set_host_threads
+    set_host_threads(p.num_threads)
+    ar_threads = p.num_threads if p.num_threads > 0 else (os.cpu_count() or 1)
     traits = get_traits(p.states)
     if p.kmer_size > traits.max_kmer_length:
         raise RuntimeError(f"Maximum k-mer size allowed: {traits.max_kmer_length}")
@@ -113,7 +118,7 @@ def build_database(p: BuildParams) -> Optional[BuildResult]:
         ar_params = bridge.ArParameters(
             binary_file=p.ar_binary, ar_dir=p.ar_dir,
             ar_parameters=p.ar_parameters, model=p.model, alpha=p.alpha,
-            categories=p.categories, num_threads=p.num_threads,
+            categories=p.categories, num_threads=ar_threads,
             tree_file=ext_tree_file, alignment_file=phylip_path)
         if p.ar_dir:
             # replay: detect which tool produced the directory by suffix

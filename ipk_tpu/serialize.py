@@ -255,8 +255,10 @@ def save(db: PhyloKmerDB, filename: str, compressed: bool = True) -> None:
     chunks = [c[i:i + split] for c in cols for i in range(0, len(c), split)]
     level = int(os.environ.get("IPK_TPU_ZLIB_LEVEL",
                                IpkWriter.DEFAULT_ZLIB_LEVEL))
+    from .utils.threads import host_threads
     with open(filename, "wb") as f:
-        for part in _parallel_zlib(chunks, level, os.cpu_count() or 2):
+        for part in _parallel_zlib(chunks, level,
+                                   host_threads("IPK_TPU_ZLIB_THREADS")):
             f.write(part)
 
 

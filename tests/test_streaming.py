@@ -97,3 +97,60 @@ def test_streaming_dump_bounded_rss(tmp_path):
     assert grown < size // 3, (
         f"dump grew RSS by {grown >> 20} MiB for a {size >> 20} MiB DB — "
         "not streaming")
+
+
+# ---------------------------------------------------------------------------
+# r5: vectorized diff_plain_text (verdict weak #3) — semantics + scale
+# ---------------------------------------------------------------------------
+
+def test_diff_plain_text_semantics(tmp_path):
+    from ipk_tpu.tools import diff_plain_text
+    k, omega = 4, 1.5
+    threshold = (omega / 4) ** k            # linear detection threshold
+    eps = 1e-3
+
+    def mk(path, rows):
+        rows = sorted(rows)
+        keys = np.array([r[0] for r in rows], np.uint64)
+        branches = np.array([r[1] for r in rows], np.uint32)
+        scores = np.log10([r[2] for r in rows]).astype(np.float32)
+        offsets = np.arange(len(rows) + 1, dtype=np.int64)
+        db = PhyloKmerDB(k, omega, "nucl", "(a:1,b:1)r:0;", [(3, 2.0)])
+        db.set_data(keys, np.zeros(len(rows), np.float32), offsets,
+                    branches, scores)
+        serialize.save(db, str(path), compressed=False)
+
+    # rows: (key, branch, linear score)
+    a = str(tmp_path / "a.ipk"); b = str(tmp_path / "b.ipk")
+    mk(a, [(1, 0, 0.5),                       # equal in both -> ok
+           (2, 0, 0.5),                       # differs beyond eps -> DIFF
+           (3, 0, threshold + eps / 2),       # a-only near threshold -> ok
+           (4, 0, 0.5),                       # a-only real -> DIFF
+           (5, 0, 0.5), (5, 1, 0.30004)])     # within eps -> ok
+    mk(b, [(1, 0, 0.5),
+           (2, 0, 0.8),
+           (5, 0, 0.5), (5, 1, 0.3),
+           (6, 0, threshold - eps / 2),       # b-only near threshold -> ok
+           (7, 0, 0.9)])                      # b-only real -> DIFF
+    assert diff_plain_text(a, b, eps=eps, verbose=False) is False
+    # drop the real diffs on both sides -> OK
+    a2 = str(tmp_path / "a2.ipk"); b2 = str(tmp_path / "b2.ipk")
+    mk(a2, [(1, 0, 0.5), (3, 0, threshold + eps / 2),
+            (5, 0, 0.5), (5, 1, 0.30004)])
+    mk(b2, [(1, 0, 0.5), (5, 0, 0.5), (5, 1, 0.3),
+            (6, 0, threshold - eps / 2)])
+    assert diff_plain_text(a2, b2, eps=eps, verbose=False) is True
+
+
+def test_diff_plain_text_at_scale(tmp_path):
+    """500k keys diff in seconds without per-entry Python objects."""
+    import time
+    from ipk_tpu.tools import diff_plain_text
+    rng = np.random.default_rng(11)
+    db = _synthetic_db(500_000, 3, rng)
+    f1 = str(tmp_path / "s1.ipk"); f2 = str(tmp_path / "s2.ipk")
+    serialize.save(db, f1, compressed=False)
+    serialize.save(db, f2, compressed=False)
+    t0 = time.perf_counter()
+    assert diff_plain_text(f1, f2, verbose=False) is True
+    assert time.perf_counter() - t0 < 10.0
