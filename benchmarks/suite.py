@@ -209,6 +209,67 @@ def artifact_meta():
             "host": bl.host_fingerprint()}
 
 
+RESULTS_PATH = os.path.join(REPO, "benchmarks", "results.json")
+
+
+def load_results():
+    try:
+        with open(RESULTS_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def current_sha():
+    import subprocess
+    try:
+        return subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
+                              capture_output=True, text=True,
+                              check=True).stdout.strip()
+    except Exception:
+        return "unknown"
+
+
+def record_row(results, name, entry):
+    """MERGE with the existing artifact: speedup rows append the new
+    complete pairing to the row's run history and report the MEDIAN
+    same-code pairing as the headline (r4 verdict item 3 — the baseline on
+    this shared host varies ~20% between sessions; best-of over-reported,
+    overwriting would pick whichever end of the band this session hit).
+
+    Each run is stamped with its git SHA; the median is taken over runs of
+    the CURRENT code only — a median across different code versions would
+    attribute old code's performance to HEAD. Older runs stay in `runs`
+    for transparency."""
+    old = results.get(name)
+    if (isinstance(old, dict) and "speedup" in old
+            and "speedup" in entry):
+        sha = current_sha()
+        entry = dict(entry, git_sha=sha)
+        strip = lambda e: {k: v for k, v in e.items()
+                           if k not in ("runs", "note")}
+        runs = old.get("runs")
+        if runs is None:
+            runs = [strip(old)]          # pre-history artifact: the old
+        elif not any(abs(r["speedup"] - old["speedup"]) < 1e-12
+                     for r in runs):     # headline must be a run too
+            runs.insert(0, strip(old))
+        runs.append(strip(entry))
+        same = [r for r in runs if r.get("git_sha") == sha]
+        med = sorted(same, key=lambda r: r["speedup"])[(len(same) - 1) // 2]
+        merged = strip(entry)            # fresh metadata fields
+        merged.update(med)               # headline metrics = the median
+        merged["runs"] = runs
+        merged["note"] = (f"headline = median of the {len(same)} recorded "
+                          "complete pairing(s) at this git_sha; every run "
+                          "(incl. older code) kept in `runs`")
+        entry = merged
+    results[name] = entry
+    print(name, json.dumps(entry), flush=True)
+    with open(RESULTS_PATH, "w") as f:
+        json.dump(results, f, indent=1)
+
+
 def main():
     # the sparse configs each pay tens of seconds of Mosaic compile when
     # cold; the persistent cache (same one bench.py uses) makes re-runs
@@ -216,45 +277,12 @@ def main():
     from ipk_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
-    out = os.path.join(REPO, "benchmarks", "results.json")
-    try:
-        with open(out) as f:
-            results = json.load(f)
-    except (OSError, ValueError):
-        results = {}
+    results = load_results()
     results["meta"] = artifact_meta()
     rng = np.random.default_rng(7)
 
     def record(name, entry):
-        # MERGE with the existing artifact: speedup rows append the new
-        # complete pairing to the row's run history and report the MEDIAN
-        # pairing as the headline (r4 verdict item 3 — the baseline on this
-        # shared host varies ~20% between sessions; best-of over-reported,
-        # overwriting would pick whichever end of the band this session hit)
-        old = results.get(name)
-        if (isinstance(old, dict) and "speedup" in old
-                and "speedup" in entry):
-            strip = lambda e: {k: v for k, v in e.items()
-                               if k not in ("runs", "note")}
-            runs = old.get("runs")
-            if runs is None:
-                runs = [strip(old)]          # pre-history artifact: the old
-            elif not any(abs(r["speedup"] - old["speedup"]) < 1e-12
-                         for r in runs):     # headline must be a run too
-                runs.insert(0, strip(old))
-            runs.append(strip(entry))
-            med = sorted(runs, key=lambda r: r["speedup"])[(len(runs) - 1)
-                                                           // 2]
-            merged = strip(entry)            # fresh metadata fields
-            merged.update(med)               # headline metrics = the median
-            merged["runs"] = runs
-            merged["note"] = ("headline = median of recorded complete "
-                              "pairings; every run kept in `runs`")
-            entry = merged
-        results[name] = entry
-        print(name, json.dumps(entry), flush=True)
-        with open(out, "w") as f:
-            json.dump(results, f, indent=1)
+        record_row(results, name, entry)
 
     def entry(tuples, secs, rate_cpp=None, meas=None):
         e = {"tuples": tuples, "seconds": secs,
@@ -482,14 +510,45 @@ def full_build_bench(num_leaves=64, width=400, k=8, omega=1.5, reps=5):
         eps = np.float32(np.log10((omega / 4) ** k))
         _, meas = cpp_baseline_rate(P_all, k, 4, eps, reps=reps)
         cpp_secs = meas["tuples"] / meas["rate"]   # median-rate stage-1 time
+        t = result.timings
+        transfer = t.get("transfer", 0.0)
+        tbytes = t.get("transfer_bytes", 0)
+        prep = secs - t.get("computation", 0.0) - t.get("filter_merge", 0.0)
+        breakdown = {
+            "prep": prep,                    # alignment/tree/AR-read stages
+            "device_compute": t.get("device_compute", 0.0),
+            "transfer": transfer,
+            "transfer_bytes": tbytes,
+            "transfer_MBps": (tbytes / transfer / 1e6) if transfer else None,
+            "host_extract": t.get("host_extract", 0.0),
+            "sort": t.get("sort", 0.0),
+            "serialize": t.get("serialize", 0.0),
+            "stage1_wall": t.get("computation", 0.0),
+            "stage23_wall": t.get("filter_merge", 0.0),
+        }
+        # the non-link portion: every measured stage EXCEPT the device→host
+        # materialization. The sum double-counts worker/main thread overlap,
+        # so it UPPER-bounds what the build's wall time would be on a real
+        # TPU host where PCIe (~10 GB/s vs the tunnel's ~15 MB/s) makes the
+        # transfer term negligible.
+        non_link = (prep + breakdown["device_compute"]
+                    + breakdown["host_extract"] + breakdown["sort"]
+                    + breakdown["serialize"])
         return {"seconds": secs,
                 "num_explored": result.num_explored,
                 "cpp_stage1_seconds": cpp_secs,
                 "cpp_tuples": meas["tuples"],
                 "cpp_samples": meas["samples"],
                 "speedup": cpp_secs / secs,
+                "breakdown": breakdown,
+                "non_link_stage_sum": non_link,
+                "speedup_non_link": cpp_secs / non_link if non_link else None,
                 "note": ("full build incl. IO/filter/serialize vs C++ "
-                         "stage-1 (enumeration+merge) on identical inputs")}
+                         "stage-1 (enumeration+merge) on identical inputs; "
+                         "breakdown measured in-build; non_link_stage_sum "
+                         "sums every stage except the tunnel transfer and "
+                         "over-counts thread overlap, so it upper-bounds "
+                         "no-link wall time")}
 
 
 def placement_bench(rng, K=500_000, B=512, k=10, Q=20480, L=150):

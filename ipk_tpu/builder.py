@@ -176,7 +176,8 @@ def _enumerate_batches(P_all: np.ndarray, prefix_all: np.ndarray, *,
                        k: int, sigma: int, eps: np.float32,
                        ghosts_per_group: int, key_batches: int,
                        backend: str, block_w: int, keep_positions: bool,
-                       mesh=None) -> Iterator[tuple]:
+                       mesh=None, stats: Optional[Dict] = None
+                       ) -> Iterator[tuple]:
     """Yield per key batch:
     ("dense", lo, A[B, chunk], pos[B, chunk] or None, count) for positions
     builds, ("compact", lo, B, chunk, flat_idx, scores, count) otherwise —
@@ -190,7 +191,19 @@ def _enumerate_batches(P_all: np.ndarray, prefix_all: np.ndarray, *,
     padded to the mesh in whole groups and trimmed from the outputs.
     Enumeration has no cross-branch arithmetic, so the result is
     bit-identical to the single-device path.
+
+    ``stats`` (optional dict) accumulates the measured wall-time breakdown:
+    ``device_compute`` (dispatch + on-device work, ended by the small count
+    transfers — the reliable completion barrier on this platform),
+    ``transfer`` and ``transfer_bytes`` (device→host materialization of the
+    batch payloads; done HERE, in the prefetch worker thread, so batch N+1's
+    transfer overlaps the main thread's extraction of batch N).
     """
+    if stats is None:
+        stats = {}
+    stats.setdefault("device_compute", 0.0)
+    stats.setdefault("transfer", 0.0)
+    stats.setdefault("transfer_bytes", 0)
     hl = k // 2
     hr = k - hl
     nl, nr = sigma ** hl, sigma ** hr
@@ -204,9 +217,11 @@ def _enumerate_batches(P_all: np.ndarray, prefix_all: np.ndarray, *,
         sh = NamedSharding(mesh, PS("branch"))
         P_all = jax.device_put(P_all, sh)
         prefix_all = jax.device_put(prefix_all, sh)
+    t_dev = time.monotonic()
     halves = _halves_fn(k, sigma)
     L, R = halves(P_all, prefix_all, eps)
     L, R = jax.block_until_ready((L, R))
+    stats["device_compute"] += time.monotonic() - t_dev
 
     def combine(Lb, Rl):
         if keep_positions:
@@ -240,31 +255,70 @@ def _enumerate_batches(P_all: np.ndarray, prefix_all: np.ndarray, *,
 
     step = nl // key_batches
     for b in range(key_batches):
+        t_dev = time.monotonic()
         Lb = jax.lax.slice_in_dim(L, b * step, (b + 1) * step, axis=2)
         if keep_positions:
             A, pos, cnt = combine(Lb, R)
             count = int(np.asarray(cnt).sum())
-            yield ("dense", b * step * nr, np.asarray(A[:B0]),
-                   np.asarray(pos[:B0]), count)
+            stats["device_compute"] += time.monotonic() - t_dev
+            t_tr = time.monotonic()
+            A_np, pos_np = np.asarray(A[:B0]), np.asarray(pos[:B0])
+            stats["transfer"] += time.monotonic() - t_tr
+            stats["transfer_bytes"] += A_np.nbytes + pos_np.nbytes
+            yield ("dense", b * step * nr, A_np, pos_np, count)
         else:
             A, cnt = combine(Lb, R)
             count = int(np.asarray(cnt).sum())
-            # survivor density decides the transfer representation: the
-            # compacted (idx, score) stream costs 8 B/survivor vs the dense
-            # accumulator's 4 B/cell, so past 50% density the dense tensor
-            # is the smaller transfer — and through a remote-tunnel runtime
-            # the device→host link IS the full-build bottleneck
+            # survivor density decides the transfer representation — through
+            # a remote-tunnel runtime the device→host link IS the full-build
+            # bottleneck, so pick whichever costs the fewest bytes:
+            #   compact (idx, score):     8 B/survivor   (sparse, <~3%)
+            #   bitmask + packed scores:  cells/8 + 4 B/survivor
+            #   raw dense tensor:         4 B/cell       (only near-total)
             import jax.numpy as jnp
             n_surv = int(np.asarray(jnp.isfinite(A[:B0]).sum()))
-            if n_surv * 2 > A[:B0].size:
-                yield ("dense", b * step * nr, np.asarray(A[:B0]), None,
-                       count)
+            cells = A[:B0].size
+            idx_bytes = 8 * n_surv
+            bm_bytes = cells // 8 + 4 * n_surv
+            dense_bytes = 4 * cells
+            rep = os.environ.get("IPK_TPU_TRANSFER", "auto")
+            if rep == "auto":
+                rep = ("idx" if idx_bytes <= min(bm_bytes, dense_bytes)
+                       else "bitmask" if bm_bytes < dense_bytes
+                       else "dense")
+            if rep == "dense":
+                stats["device_compute"] += time.monotonic() - t_dev
+                t_tr = time.monotonic()
+                A_np = np.asarray(A[:B0])
+                stats["transfer"] += time.monotonic() - t_tr
+                stats["transfer_bytes"] += A_np.nbytes
+                yield ("dense", b * step * nr, A_np, None, count)
                 continue
-            # compact the TRANSPOSED accumulator: row-major flat indices
-            # over [chunk, B] are key-major with groups ascending within a
-            # key — exactly the DB's required entry order, so the host
-            # extraction skips its O(n log n) lexsort
-            flat_idx, scores = dense.compact_survivors(A[:B0].T)
+            # both compacted forms flatten the TRANSPOSED accumulator:
+            # row-major flat order over [chunk, B] is key-major with groups
+            # ascending within a key — exactly the DB's required entry
+            # order, so the host extraction skips its O(n log n) lexsort
+            if rep == "bitmask":
+                packed_dev, sc_dev, n = dense.bitmask_survivors(A[:B0].T)
+                stats["device_compute"] += time.monotonic() - t_dev
+                t_tr = time.monotonic()
+                packed = np.asarray(packed_dev)
+                scores = np.asarray(sc_dev[:n], dtype=np.float32)
+                stats["transfer"] += time.monotonic() - t_tr
+                stats["transfer_bytes"] += packed.nbytes + scores.nbytes
+                yield ("bitmask", b * step * nr, B0, step * nr, packed,
+                       scores, count)
+                continue
+            idx_dev, sc_dev, n = dense.compact_survivors(A[:B0].T,
+                                                         materialize=False)
+            stats["device_compute"] += time.monotonic() - t_dev
+            # materialize HERE (prefetch worker): overlaps the main
+            # thread's extraction of the previous batch
+            t_tr = time.monotonic()
+            flat_idx = np.asarray(idx_dev[:n], dtype=np.int32)
+            scores = np.asarray(sc_dev[:n], dtype=np.float32)
+            stats["transfer"] += time.monotonic() - t_tr
+            stats["transfer_bytes"] += flat_idx.nbytes + scores.nbytes
             yield ("compact", b * step * nr, B0, step * nr, flat_idx,
                    scores, count)
 
@@ -760,13 +814,24 @@ def build(original_tree: PhyloTree,
         fv_override = np.empty(nl * nr, dtype=np.float32)
 
         def device_mi_batches():
+            timings.setdefault("device_compute", 0.0)
+            timings.setdefault("transfer", 0.0)
+            timings.setdefault("transfer_bytes", 0)
+            t_dev = time.monotonic()
             L, R = halves_fn(P_pad, pre_pad, eps)
             for b in range(key_batches):
                 A_b, fv_b, counts = batch_fn(L, R, eps, b * step_l)
                 lo = b * step_l * nr
-                fv_override[lo:lo + step_l * nr] = np.asarray(fv_b)
                 count = int(np.asarray(counts)[:G0].astype(np.int64).sum())
-                yield ("dense", lo, np.asarray(A_b)[:B0], None, count)
+                timings["device_compute"] += time.monotonic() - t_dev
+                t_tr = time.monotonic()
+                fv_np = np.asarray(fv_b)
+                A_np = np.asarray(A_b)[:B0]
+                timings["transfer"] += time.monotonic() - t_tr
+                timings["transfer_bytes"] += fv_np.nbytes + A_np.nbytes
+                fv_override[lo:lo + step_l * nr] = fv_np
+                yield ("dense", lo, A_np, None, count)
+                t_dev = time.monotonic()
 
         batches = device_mi_batches()
     elif use_sparse:
@@ -810,7 +875,7 @@ def build(original_tree: PhyloTree,
             P_all, prefix_all, k=kmer_size, sigma=sigma, eps=eps,
             ghosts_per_group=ghosts_per_group, key_batches=key_batches,
             backend=backend, block_w=block_w, keep_positions=keep_positions,
-            mesh=mesh)
+            mesh=mesh, stats=timings)
 
     # ---- stages 2+3 -------------------------------------------------------
     parts = []
@@ -835,7 +900,9 @@ def build(original_tree: PhyloTree,
         handle_part(0, sparse_part)
     bar = _Progress("Computing phylo-k-mers",
                     0 if use_sparse else key_batches, verbose >= 1)
+    timings.setdefault("host_extract", 0.0)
     for batch_idx, batch in enumerate(_prefetch(batches)):
+        t_x = time.monotonic()
         if batch[0] == "dense":
             _, lo, A, pos, count = batch
             num_explored += count
@@ -847,11 +914,17 @@ def build(original_tree: PhyloTree,
         else:
             _, lo, B, chunk, flat_idx, scores, count = batch
             num_explored += count
+            if batch[0] == "bitmask":
+                # unpack the survivor membership back to flat indices:
+                # unpackbits is MSB-first, matching the device packer
+                flat = np.unpackbits(flat_idx)[:B * chunk]
+                flat_idx = np.flatnonzero(flat).astype(np.int32)
             part = _extract_compact(
                 flat_idx, scores, B, chunk, lo, group_ids, kmer_size, traits,
                 original_tree.get_node_count(), threshold,
                 filter_type, rng_stream, merge_branches)
         handle_part(batch_idx, part)
+        timings["host_extract"] += time.monotonic() - t_x
         bar.step()
     timings["computation"] = time.monotonic() - t0
     if verbose > 0:
@@ -876,8 +949,11 @@ def build(original_tree: PhyloTree,
             keys, fv, counts, branches, scores, positions)
         db.set_data(keys, fv.astype(np.float32), offsets, branches, scores,
                     positions)
+        timings["sort"] = time.monotonic() - t0
         if output_filename:
+            t_s = time.monotonic()
             serialize.save(db, output_filename, compressed=not uncompressed)
+            timings["serialize"] = time.monotonic() - t_s
     timings["filter_merge"] = time.monotonic() - t0
 
     if verbose > 0:

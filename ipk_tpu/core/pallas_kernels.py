@@ -37,19 +37,34 @@ __all__ = ["combine_max", "accumulate_ghosts_fused",
 #: Interpreter mode for CPU testing (set IPK_TPU_INTERPRET=1; tests do).
 INTERPRET = os.environ.get("IPK_TPU_INTERPRET", "0") == "1"
 
+#: Split the combine accumulator into even/odd window halves to give the
+#: VPU two independent max/count dependency chains (bit-identical output).
+#: Measured on chip (r5, interleaved A/B, warm): ~9% SLOWER (394 vs 434
+#: Gcand/s) — the extra live tiles cost more than the ILP buys, so the
+#: Mosaic schedule is already at its practical issue bound for this op mix.
+#: Default off; kept as a knob so the measurement is reproducible (same
+#: policy as GROUP_SPANS/SORT_WINDOWS in core/sparse.py).
+SPLIT_ACC = os.environ.get("IPK_TPU_SPLIT_ACC", "0") == "1"
+
 
 def _combine_kernel(L_ref, R_ref, eps_ref, A_ref, *, block_w: int,
                     num_blocks: int, t_chunk: int, with_count: bool,
-                    count_ref=None, cacc_ref=None):
+                    count_ref=None, cacc_ref=None, A2_ref=None,
+                    cacc2_ref=None):
     nrb = pl.program_id(1)
     wb = pl.program_id(2)
     nl = A_ref.shape[1]
+    split_acc = A2_ref is not None
 
     @pl.when(wb == 0)
     def _():
         A_ref[:] = jnp.full_like(A_ref, NEG_INF)
+        if split_acc:
+            A2_ref[:] = jnp.full_like(A2_ref, NEG_INF)
         if with_count:
             cacc_ref[:] = jnp.zeros_like(cacc_ref)
+            if split_acc:
+                cacc2_ref[:] = jnp.zeros_like(cacc2_ref)
             @pl.when(nrb == 0)
             def _():
                 count_ref[:] = jnp.zeros_like(count_ref)
@@ -75,11 +90,38 @@ def _combine_kernel(L_ref, R_ref, eps_ref, A_ref, *, block_w: int,
         Rc = R_ref[0, pl.ds(t * t_chunk, t_chunk), :]
         A = A_ref[0]
         cacc = cacc_ref[0] if with_count else None
-        for j in range(t_chunk):
-            T = jax.lax.slice(LT, (0, j), (nl, j + 1)) + Rc[j][None, :]
-            A = jnp.maximum(A, T)
+        if split_acc:
+            # break the per-cell serial max/add chains over windows in two:
+            # even windows fold into (A, cacc), odd into (A2, cacc2), merged
+            # once at the last block. max is associative/commutative and the
+            # count is a sum, so the result is bit-identical; the win (if
+            # any) is ILP — two independent dependency chains for the VPU.
+            A2 = A2_ref[0]
+            cacc2 = cacc2_ref[0] if with_count else None
+            for j in range(0, t_chunk - 1, 2):
+                T = jax.lax.slice(LT, (0, j), (nl, j + 1)) + Rc[j][None, :]
+                T2 = (jax.lax.slice(LT, (0, j + 1), (nl, j + 2))
+                      + Rc[j + 1][None, :])
+                A = jnp.maximum(A, T)
+                A2 = jnp.maximum(A2, T2)
+                if with_count:
+                    cacc = cacc + (T > eps_ref[0, 0]).astype(jnp.int32)
+                    cacc2 = cacc2 + (T2 > eps_ref[0, 0]).astype(jnp.int32)
+            if t_chunk % 2:
+                T = (jax.lax.slice(LT, (0, t_chunk - 1), (nl, t_chunk))
+                     + Rc[t_chunk - 1][None, :])
+                A = jnp.maximum(A, T)
+                if with_count:
+                    cacc = cacc + (T > eps_ref[0, 0]).astype(jnp.int32)
+            A2_ref[0] = A2
             if with_count:
-                cacc = cacc + (T > eps_ref[0, 0]).astype(jnp.int32)
+                cacc2_ref[0] = cacc2
+        else:
+            for j in range(t_chunk):
+                T = jax.lax.slice(LT, (0, j), (nl, j + 1)) + Rc[j][None, :]
+                A = jnp.maximum(A, T)
+                if with_count:
+                    cacc = cacc + (T > eps_ref[0, 0]).astype(jnp.int32)
         A_ref[0] = A
         if with_count:
             cacc_ref[0] = cacc
@@ -101,20 +143,27 @@ def _combine_kernel(L_ref, R_ref, eps_ref, A_ref, *, block_w: int,
     @pl.when(wb == num_blocks - 1)
     def _():
         A = A_ref[0]
+        if split_acc:
+            A = jnp.maximum(A, A2_ref[0])
         A_ref[0] = jnp.where(A > eps_ref[0, 0], A, NEG_INF)
         if with_count:
             # the count output is a VMEM-tiled (1, 8, 128) slab (SMEM outputs
             # cannot be blocked per grid cell, and scalar stores to VMEM are
             # not allowed): broadcast-accumulate the reduced per-nr-block
             # total over the tile (zeroed at nrb == 0, wb == 0 above)
-            count_ref[0] = count_ref[0] + jnp.sum(cacc_ref[0])
+            total = jnp.sum(cacc_ref[0])
+            if split_acc:
+                total = total + jnp.sum(cacc2_ref[0])
+            count_ref[0] = count_ref[0] + total
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("block_w", "with_count", "interpret"))
+                   static_argnames=("block_w", "with_count", "interpret",
+                                    "split_acc"))
 def combine_max(L: jnp.ndarray, R: jnp.ndarray, log_threshold, *,
                 block_w: int = 256, with_count: bool = False,
-                interpret: bool | None = None):
+                interpret: bool | None = None,
+                split_acc: bool | None = None):
     """A[g] = max_w mask(L[g, w] ⊕ R[g, w]) for all ghosts.
 
     L: [G, W, nl], R: [G, W, nr] f32 (from ``masked_halves``, -inf = pruned).
@@ -123,6 +172,8 @@ def combine_max(L: jnp.ndarray, R: jnp.ndarray, log_threshold, *,
     """
     if interpret is None:
         interpret = INTERPRET
+    if split_acc is None:
+        split_acc = SPLIT_ACC
     G, W, nl = L.shape
     nr = R.shape[2]
     nl0, nr0 = nl, nr
@@ -177,16 +228,34 @@ def combine_max(L: jnp.ndarray, R: jnp.ndarray, log_threshold, *,
                               memory_space=pltpu.VMEM)]
     scratch_shapes = []
     if with_count:
-        def kernel(L_ref, R_ref, eps_ref, A_ref, count_ref, cacc_ref):
-            _combine_kernel(L_ref, R_ref, eps_ref, A_ref, block_w=bw,
-                            num_blocks=num_blocks, t_chunk=t_chunk,
-                            with_count=True, count_ref=count_ref,
-                            cacc_ref=cacc_ref)
+        if split_acc:
+            def kernel(L_ref, R_ref, eps_ref, A_ref, count_ref, cacc_ref,
+                       A2_ref, cacc2_ref):
+                _combine_kernel(L_ref, R_ref, eps_ref, A_ref, block_w=bw,
+                                num_blocks=num_blocks, t_chunk=t_chunk,
+                                with_count=True, count_ref=count_ref,
+                                cacc_ref=cacc_ref, A2_ref=A2_ref,
+                                cacc2_ref=cacc2_ref)
+            scratch_shapes = [pltpu.VMEM((1, nl, nr_blk), jnp.int32),
+                              pltpu.VMEM((1, nl, nr_blk), jnp.float32),
+                              pltpu.VMEM((1, nl, nr_blk), jnp.int32)]
+        else:
+            def kernel(L_ref, R_ref, eps_ref, A_ref, count_ref, cacc_ref):
+                _combine_kernel(L_ref, R_ref, eps_ref, A_ref, block_w=bw,
+                                num_blocks=num_blocks, t_chunk=t_chunk,
+                                with_count=True, count_ref=count_ref,
+                                cacc_ref=cacc_ref)
+            scratch_shapes = [pltpu.VMEM((1, nl, nr_blk), jnp.int32)]
         out_shape.append(jax.ShapeDtypeStruct((G, 8, 128), jnp.int32))
         out_specs.append(pl.BlockSpec((1, 8, 128),
                                       lambda g, nrb, wb: (g, 0, 0),
                                       memory_space=pltpu.VMEM))
-        scratch_shapes = [pltpu.VMEM((1, nl, nr_blk), jnp.int32)]
+    elif split_acc:
+        def kernel(L_ref, R_ref, eps_ref, A_ref, A2_ref):
+            _combine_kernel(L_ref, R_ref, eps_ref, A_ref, block_w=bw,
+                            num_blocks=num_blocks, t_chunk=t_chunk,
+                            with_count=False, A2_ref=A2_ref)
+        scratch_shapes = [pltpu.VMEM((1, nl, nr_blk), jnp.float32)]
     else:
         kernel = functools.partial(_combine_kernel, block_w=bw,
                                    num_blocks=num_blocks, t_chunk=t_chunk,

@@ -194,26 +194,38 @@ class IpkWriter:
         self.close()
 
 
-def _parallel_zlib(chunks: List[bytes], level: int, nthreads: int) -> Iterator[bytes]:
+def _parallel_zlib(chunks: List[bytes], levels, nthreads: int
+                   ) -> Iterator[bytes]:
     """pigz-style parallel deflate: each chunk is raw-deflated independently
     (Z_FULL_FLUSH terminators keep blocks byte-aligned and dictionary-free),
     concatenated under one zlib header with the adler32 of the whole
     uncompressed payload — a single standard zlib stream, so readers (ours
-    and ``zlib.decompress``) see no difference from the serial writer."""
+    and ``zlib.decompress``) see no difference from the serial writer.
+
+    ``levels`` is per-chunk (an int applies to all): level 0 emits STORED
+    blocks — used for the f32 score column, which measures ~0.85 compression
+    ratio at ~25 MB/s/core (the build's last serial stage) while every other
+    column compresses 2-50x; storing it trades ~15% file size for most of
+    the serialize wall time."""
     from concurrent.futures import ThreadPoolExecutor
 
-    def deflate(chunk: bytes) -> bytes:
-        co = zlib.compressobj(level, zlib.DEFLATED, -15)
+    if isinstance(levels, int):
+        levels = [levels] * len(chunks)
+
+    def deflate(args) -> bytes:
+        chunk, lvl = args
+        co = zlib.compressobj(lvl, zlib.DEFLATED, -15)
         return co.compress(chunk) + co.flush(zlib.Z_FULL_FLUSH)
 
     yield b"\x78\x01"                       # zlib header (CM=8, no dict)
     adler = zlib.adler32(b"")
     with ThreadPoolExecutor(max_workers=nthreads) as pool:
-        for chunk, body in zip(chunks, pool.map(deflate, chunks)):
+        for chunk, body in zip(chunks, pool.map(deflate,
+                                                zip(chunks, levels))):
             adler = zlib.adler32(chunk, adler)
             yield body
     # final empty stored block carries BFINAL, then the stream checksum
-    co = zlib.compressobj(level, zlib.DEFLATED, -15)
+    co = zlib.compressobj(1, zlib.DEFLATED, -15)
     yield co.flush(zlib.Z_FINISH)
     yield struct.pack(">I", adler & 0xFFFFFFFF)
 
@@ -242,22 +254,32 @@ def save(db: PhyloKmerDB, filename: str, compressed: bool = True) -> None:
     header.write(struct.pack("<f", np.float32(db.omega)))
     header.write(struct.pack("<B", 1 if db.positions is not None else 0))
     header.write(struct.pack("<QQ", db.size(), db.num_entries()))
-    cols = [_MAGIC + header.getvalue(),
-            np.ascontiguousarray(db.keys, dtype="<u8").tobytes(),
-            np.ascontiguousarray(db.filter_values, dtype="<f4").tobytes(),
-            np.ascontiguousarray(np.diff(db.offsets), dtype="<u8").tobytes(),
-            np.ascontiguousarray(db.branches, dtype="<u4").tobytes(),
-            np.ascontiguousarray(db.scores, dtype="<f4").tobytes()]
-    if db.positions is not None:
-        cols.append(np.ascontiguousarray(db.positions, dtype="<u4").tobytes())
-    # split big columns so both cores stay busy on skewed column sizes
-    split = max(1 << 22, max(len(c) for c in cols) // 8)
-    chunks = [c[i:i + split] for c in cols for i in range(0, len(c), split)]
     level = int(os.environ.get("IPK_TPU_ZLIB_LEVEL",
                                IpkWriter.DEFAULT_ZLIB_LEVEL))
+    score_level = int(os.environ.get("IPK_TPU_SCORE_ZLIB_LEVEL", 0))
+    cols = [(_MAGIC + header.getvalue(), level),
+            (np.ascontiguousarray(db.keys, dtype="<u8").tobytes(), level),
+            (np.ascontiguousarray(db.filter_values,
+                                  dtype="<f4").tobytes(), level),
+            (np.ascontiguousarray(np.diff(db.offsets),
+                                  dtype="<u8").tobytes(), level),
+            (np.ascontiguousarray(db.branches, dtype="<u4").tobytes(),
+             level),
+            (np.ascontiguousarray(db.scores, dtype="<f4").tobytes(),
+             score_level)]
+    if db.positions is not None:
+        cols.append((np.ascontiguousarray(db.positions,
+                                          dtype="<u4").tobytes(), level))
+    # split big columns so both cores stay busy on skewed column sizes
+    split = max(1 << 22, max(len(c) for c, _ in cols) // 8)
+    chunks, levels = [], []
+    for c, lvl in cols:
+        for i in range(0, len(c), split):
+            chunks.append(c[i:i + split])
+            levels.append(lvl)
     from .utils.threads import host_threads
     with open(filename, "wb") as f:
-        for part in _parallel_zlib(chunks, level,
+        for part in _parallel_zlib(chunks, levels,
                                    host_threads("IPK_TPU_ZLIB_THREADS")):
             f.write(part)
 

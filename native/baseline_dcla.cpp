@@ -12,6 +12,8 @@
 //
 // stdin protocol (binary, little-endian):
 //   int64 G, S, sigma, k; float eps; int64 emit;
+//   (emit==2 only) int64 N_total; double threshold; int64 B;
+//                  then B int64 branch ids (one per group, G == 2*B);
 //   then G*S*sigma float32 log10 scores.
 // stdout: one JSON line {"tuples": N, "ms": T, "entries": M}. With emit=1,
 // the merged per-group survivor sets follow (the correctness-gate mode:
@@ -20,10 +22,21 @@
 // "<code> <score-bits>" (f32 score as its raw uint32 bits — exact),
 // ascending by code.
 //
+// emit==2 runs the WHOLE pipeline (stages 1-3): after enumeration + merge,
+// the per-key entry lists (branch, score) are assembled in group processing
+// order, mif0 filter values are computed in f64 (the reference's formula,
+// ipk/src/filter.cpp:60-119 — N_total groups, `threshold` the linear
+// detection threshold), and rows are emitted ascending by (fv, key) — the
+// framework's DB row order. Per row: "R <key> <fv-f64-bits> <n>", then n
+// entry lines "<branch> <score-f32-bits>". This anchors the framework's
+// complete DB content (keys, filter values, entry order, branch ids,
+// scores) to an implementation-independent oracle (r4 verdict item 2).
+//
 // Build: g++ -O3 -march=native -o baseline_dcla baseline_dcla.cpp
 
 #include <algorithm>
 #include <chrono>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -134,6 +147,23 @@ int main() {
         std::fprintf(stderr, "bad header\n");
         return 1;
     }
+    int64_t n_total = 0, n_branches = 0;
+    double threshold = 0.0;
+    std::vector<int64_t> branch_ids;
+    if (emit == 2) {
+        if (std::fread(&n_total, 8, 1, stdin) != 1 ||
+            std::fread(&threshold, 8, 1, stdin) != 1 ||
+            std::fread(&n_branches, 8, 1, stdin) != 1) {
+            std::fprintf(stderr, "bad emit-2 header\n");
+            return 1;
+        }
+        branch_ids.resize(n_branches);
+        if (std::fread(branch_ids.data(), 8, n_branches, stdin) !=
+            static_cast<size_t>(n_branches)) {
+            std::fprintf(stderr, "bad branch ids\n");
+            return 1;
+        }
+    }
     std::vector<float> all(static_cast<size_t>(G) * S * sigma);
     if (std::fread(all.data(), 4, all.size(), stdin) != all.size()) {
         std::fprintf(stderr, "bad payload\n");
@@ -169,6 +199,62 @@ int main() {
         std::chrono::duration<double, std::milli>(t1 - t0).count();
     std::printf("{\"tuples\": %zu, \"ms\": %.3f, \"entries\": %zu}\n", tuples,
                 ms, entries);
+    if (emit == 2) {
+        // stages 2-3: per-key entry lists in group processing order, mif0
+        // in f64, rows ascending by (fv, key)
+        struct Entry { int64_t branch; float score; };
+        std::unordered_map<uint64_t, std::vector<Entry>> by_key;
+        for (size_t gi = 0; gi < merged.size(); ++gi) {
+            auto& rows = merged[gi];
+            std::sort(rows.begin(), rows.end());
+            const int64_t branch = branch_ids[gi];
+            for (const auto& [code, score] : rows)
+                by_key[code].push_back({branch, score});
+        }
+        struct Row { uint64_t key; double fv; };
+        std::vector<Row> order;
+        order.reserve(by_key.size());
+        const double N = static_cast<double>(n_total);
+        const double log2N = std::log2(N);
+        auto shannon = [](double x) { return -x * std::log2(x); };
+        for (const auto& [key, list] : by_key) {
+            const double cnt = static_cast<double>(list.size());
+            double ssum = 0.0;
+            for (const auto& e : list) {
+                double lin = std::pow(10.0, static_cast<double>(e.score));
+                ssum += std::fmin(lin, 1.0);
+            }
+            const double score_sum = ssum + (N - cnt) * threshold;
+            const double tt = shannon(threshold / score_sum);
+            double tv_sum = 0.0;
+            for (const auto& e : list) {
+                double lin = std::pow(10.0, static_cast<double>(e.score));
+                lin = std::fmin(lin, 1.0);
+                tv_sum += shannon(lin / score_sum);
+            }
+            const double HcBw1 = N * tt + (tv_sum - cnt * tt);
+            order.push_back({key, score_sum * (HcBw1 - log2N)});
+        }
+        std::sort(order.begin(), order.end(), [](const Row& a, const Row& b) {
+            return a.fv != b.fv ? a.fv < b.fv : a.key < b.key;
+        });
+        for (const auto& row : order) {
+            const auto& list = by_key[row.key];
+            uint64_t fv_bits;
+            std::memcpy(&fv_bits, &row.fv, 8);
+            std::printf("R %llu %llu %zu\n",
+                        static_cast<unsigned long long>(row.key),
+                        static_cast<unsigned long long>(fv_bits),
+                        list.size());
+            for (const auto& e : list) {
+                uint32_t bits32;
+                std::memcpy(&bits32, &e.score, 4);
+                std::printf("%lld %u\n", static_cast<long long>(e.branch),
+                            bits32);
+            }
+        }
+        return 0;
+    }
     for (size_t gi = 0; gi < merged.size(); ++gi) {
         auto& rows = merged[gi];
         std::sort(rows.begin(), rows.end());

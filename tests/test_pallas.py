@@ -113,3 +113,32 @@ def test_combine_max_nr_blocking():
     count_ref = int((np.asarray(L)[:, :, :, None] + np.asarray(R)[:, :, None, :]
                      > eps).sum())
     assert int(np.asarray(counts).astype(np.int64).sum()) == count_ref
+
+
+@pytest.mark.parametrize("block_w", [8, 16])
+def test_split_accumulator_bitequal(block_w):
+    """IPK_TPU_SPLIT_ACC (even/odd window accumulator halves — an ILP
+    experiment, measured slower on chip and default-off) must stay
+    bit-identical in values AND counts."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(17)
+    k, sigma = 6, 4
+    P, prefix = make_inputs(rng, 3, 37 + k - 1, sigma)
+    eps = eps_for(1.5, sigma, k)
+    halves = jax.vmap(
+        functools.partial(dense.masked_halves, k=k, sigma=sigma),
+        in_axes=(0, 0, None))
+    L, R = halves(jnp.asarray(P), jnp.asarray(prefix), eps)
+    A0, c0 = combine_max(L, R, eps, block_w=block_w, with_count=True,
+                         interpret=True, split_acc=False)
+    A1, c1 = combine_max(L, R, eps, block_w=block_w, with_count=True,
+                         interpret=True, split_acc=True)
+    np.testing.assert_array_equal(np.asarray(A0), np.asarray(A1))
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    B0 = combine_max(L, R, eps, block_w=block_w, interpret=True,
+                     split_acc=False)
+    B1 = combine_max(L, R, eps, block_w=block_w, interpret=True,
+                     split_acc=True)
+    np.testing.assert_array_equal(np.asarray(B0), np.asarray(B1))
