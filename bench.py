@@ -113,6 +113,9 @@ def run_baseline(P_all):
 
 
 def main():
+    sys.path.insert(0, REPO)
+    from ipk_tpu.utils.malloc_tune import retain_heap
+    retain_heap()
     P_all = make_workload()
     baseline_rate = run_baseline(P_all)
     tuples, elapsed = run_tpu(P_all)

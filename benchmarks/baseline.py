@@ -68,8 +68,16 @@ def run_oracle(P_sub, k: int, sigma: int, eps, *, pin: bool = True) -> dict:
     header = struct.pack("<qqqqfq", P_sub.shape[0], P_sub.shape[1], sigma, k,
                          float(eps), 0)
     argv = (_pin_prefix() if pin else []) + [ensure_binary()]
+    # same malloc tuning the framework applies to itself
+    # (ipk_tpu/utils/malloc_tune.py): first-touch page faults run ~30 MB/s
+    # on these sandboxes; keep the oracle's big vectors in the sbrk heap so
+    # its timer measures enumeration, not the kernel's fault path
+    env = dict(os.environ,
+               MALLOC_MMAP_THRESHOLD_=str(2**31 - 1),
+               MALLOC_TRIM_THRESHOLD_=str(2**31 - 1),
+               MALLOC_MMAP_MAX_="0")
     result = subprocess.run(argv, input=header + P_sub.tobytes(),
-                            capture_output=True, check=True)
+                            capture_output=True, check=True, env=env)
     return json.loads(result.stdout)
 
 

@@ -276,6 +276,8 @@ def main():
     # finish in minutes (VERDICT r3 item 1a)
     from ipk_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
+    from ipk_tpu.utils.malloc_tune import retain_heap
+    retain_heap()
 
     results = load_results()
     results["meta"] = artifact_meta()
@@ -372,6 +374,15 @@ def main():
             or "--at-scale" in sys.argv):
         record("full_build_at_scale",
                full_build_bench(num_leaves=256, width=1500, reps=2))
+        # BASELINE config 4: thousands of branches, END-TO-END (the branch
+        # loop the reference left as a commented-out OpenMP pragma,
+        # db_builder.cpp:602-605). 1024 leaves -> 2046 branch groups. The
+        # isolated 2048-branch distributed-MI reduction is the
+        # branches_2048_mi row; on a single chip the MI filter runs on host
+        # (--device-mi needs >1 device), so this row is the pure
+        # end-to-end wall-time + tuples/s evidence at that tree scale.
+        record("branches_2048_full_build",
+               full_build_bench(num_leaves=1024, width=300, reps=2))
 
     # 8. Mosaic-kernel vs XLA-fallback equality evidence on real hardware
     record("kernel_parity", kernel_parity_check())

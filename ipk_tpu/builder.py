@@ -721,6 +721,9 @@ def build(original_tree: PhyloTree,
           verbose: int = 1) -> BuildResult:
     """Run the full stage-1..3 build (cf. ``db_builder::run``,
     ``db_builder.cpp:182-218``)."""
+    from .utils.malloc_tune import retain_heap
+    retain_heap()   # big-buffer page faults are ~30 MB/s on the target
+                    # sandboxes; keep freed pages in the heap (see module)
     sigma = traits.alphabet_size
     if kmer_size > traits.max_kmer_length:
         raise RuntimeError(

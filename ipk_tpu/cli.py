@@ -64,6 +64,8 @@ def parse_config(ar_config: str) -> str:
 @click.version_option("0.1.0", prog_name="ipk-tpu")
 def ipk():
     """IPK-TPU: TPU-native phylo-k-mer database construction."""
+    from .utils.malloc_tune import retain_heap
+    retain_heap()
 
 
 @ipk.command()
