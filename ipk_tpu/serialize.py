@@ -257,19 +257,21 @@ def save(db: PhyloKmerDB, filename: str, compressed: bool = True) -> None:
     level = int(os.environ.get("IPK_TPU_ZLIB_LEVEL",
                                IpkWriter.DEFAULT_ZLIB_LEVEL))
     score_level = int(os.environ.get("IPK_TPU_SCORE_ZLIB_LEVEL", 0))
+
+    def col(arr, dtype):
+        # zero-copy byte view (tobytes() duplicated every column; at
+        # production sizes that is >1 GB of fresh pages on the serialize
+        # path — the deflate pool reads memoryview slices directly)
+        return memoryview(np.ascontiguousarray(arr, dtype=dtype)).cast("B")
+
     cols = [(_MAGIC + header.getvalue(), level),
-            (np.ascontiguousarray(db.keys, dtype="<u8").tobytes(), level),
-            (np.ascontiguousarray(db.filter_values,
-                                  dtype="<f4").tobytes(), level),
-            (np.ascontiguousarray(np.diff(db.offsets),
-                                  dtype="<u8").tobytes(), level),
-            (np.ascontiguousarray(db.branches, dtype="<u4").tobytes(),
-             level),
-            (np.ascontiguousarray(db.scores, dtype="<f4").tobytes(),
-             score_level)]
+            (col(db.keys, "<u8"), level),
+            (col(db.filter_values, "<f4"), level),
+            (col(np.diff(db.offsets), "<u8"), level),
+            (col(db.branches, "<u4"), level),
+            (col(db.scores, "<f4"), score_level)]
     if db.positions is not None:
-        cols.append((np.ascontiguousarray(db.positions,
-                                          dtype="<u4").tobytes(), level))
+        cols.append((col(db.positions, "<u4"), level))
     # split big columns so both cores stay busy on skewed column sizes
     split = max(1 << 22, max(len(c) for c, _ in cols) // 8)
     chunks, levels = [], []
