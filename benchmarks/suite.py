@@ -230,6 +230,32 @@ def current_sha():
         return "unknown"
 
 
+def code_fingerprint():
+    """Hash of the measured code (sources that produce the numbers), NOT the
+    commit: results-only or docs-only commits must not reset a row's
+    same-code run group, and uncommitted source edits must."""
+    import hashlib
+    h = hashlib.sha256()
+    # the measured framework only — NOT benchmarks/ (the harness): editing
+    # the record/merge logic must not reset every row's run group, and
+    # workload edits change the row's tuple counts visibly anyway
+    roots = ["ipk_tpu", "native", "bench.py"]
+    for root in roots:
+        path = os.path.join(REPO, root)
+        files = []
+        if os.path.isfile(path):
+            files = [path]
+        else:
+            for dirp, _, names in os.walk(path):
+                files += [os.path.join(dirp, n) for n in names
+                          if n.endswith((".py", ".cpp", ".h", "Makefile"))]
+        for f in sorted(files):
+            h.update(os.path.relpath(f, REPO).encode())
+            with open(f, "rb") as fh:
+                h.update(fh.read())
+    return h.hexdigest()[:16]
+
+
 def record_row(results, name, entry):
     """MERGE with the existing artifact: speedup rows append the new
     complete pairing to the row's run history and report the MEDIAN
@@ -237,15 +263,17 @@ def record_row(results, name, entry):
     this shared host varies ~20% between sessions; best-of over-reported,
     overwriting would pick whichever end of the band this session hit).
 
-    Each run is stamped with its git SHA; the median is taken over runs of
-    the CURRENT code only — a median across different code versions would
-    attribute old code's performance to HEAD. Older runs stay in `runs`
+    Each run is stamped with its git SHA and a fingerprint of the measured
+    sources; the median is taken over runs of the CURRENT code only — a
+    median across different code versions would attribute old code's
+    performance to HEAD. (The fingerprint, not the commit, keys the group:
+    results-only commits must not reset it.) Older runs stay in `runs`
     for transparency."""
     old = results.get(name)
     if (isinstance(old, dict) and "speedup" in old
             and "speedup" in entry):
-        sha = current_sha()
-        entry = dict(entry, git_sha=sha)
+        fp = code_fingerprint()
+        entry = dict(entry, git_sha=current_sha(), code_sha=fp)
         strip = lambda e: {k: v for k, v in e.items()
                            if k not in ("runs", "note")}
         runs = old.get("runs")
@@ -255,14 +283,14 @@ def record_row(results, name, entry):
                      for r in runs):     # headline must be a run too
             runs.insert(0, strip(old))
         runs.append(strip(entry))
-        same = [r for r in runs if r.get("git_sha") == sha]
+        same = [r for r in runs if r.get("code_sha") == fp]
         med = sorted(same, key=lambda r: r["speedup"])[(len(same) - 1) // 2]
         merged = strip(entry)            # fresh metadata fields
         merged.update(med)               # headline metrics = the median
         merged["runs"] = runs
         merged["note"] = (f"headline = median of the {len(same)} recorded "
-                          "complete pairing(s) at this git_sha; every run "
-                          "(incl. older code) kept in `runs`")
+                          "complete pairing(s) at this code fingerprint; "
+                          "every run (incl. older code) kept in `runs`")
         entry = merged
     results[name] = entry
     print(name, json.dumps(entry), flush=True)
