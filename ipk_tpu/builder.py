@@ -443,10 +443,17 @@ def _sparse_device_merge(P_all, prefix_all, *, k: int, sigma: int, bits: int,
     import jax.numpy as jnp
     explored = int(np.asarray(jnp.isfinite(scores_full).sum()))
     try:
+        # nl bounds the cl CODE space for the key-range binning. Codes are
+        # BIT-packed (bits per symbol), so the space is 2^(bits·hl), NOT
+        # sigma^hl — for non-power-of-two alphabets (AA: sigma 20, 5 bits)
+        # codes above sigma^hl exist and sigma^hl as the bound silently
+        # dropped them from every bucket (caught by the AA full-pipeline
+        # oracle gate; DNA is dense-packed, 4^hl == 2^(2·hl), so it never
+        # triggered).
         keys, border, scores = device_key_merge(
             mesh, cl_full, cr_full, scores_full,
-            ghosts_per_group=ghosts_per_group, nl=sigma ** (k // 2),
-            bits=bits, k=k)
+            ghosts_per_group=ghosts_per_group,
+            nl=1 << (bits * (k // 2)), bits=bits, k=k)
     except KeyMergeOverflow as e:
         # a merge bucket overflowed, but stage 1 is DONE and correct —
         # reuse the enumerated survivor lists and merge on host instead of

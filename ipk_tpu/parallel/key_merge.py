@@ -11,8 +11,12 @@ on device:
          the insert-or-max ``put`` (``branch_group.cpp:88-102``) over
          windows and ghosts at once
       3. compact survivors to the front (stable sort on the keep flag)
-      4. bin by contiguous key range (dst = cl·n_dev // σ^hl — the
-         contiguous-range analog of ``kmer_batch``'s ``key % n``)
+      4. bin by contiguous key range (dst = cl·n_dev // nl with
+         nl = 2^(bits·hl), the BIT-packed cl code space — the
+         contiguous-range analog of ``kmer_batch``'s ``key % n``; σ^hl is
+         WRONG for non-power-of-two alphabets, whose packed codes exceed
+         it — AA codes above σ^hl would silently fall outside every
+         bucket)
       5. all_to_all over the mesh axis: device d receives every shard's
          tuples for key range d
       6. final sort by (cl, cr, group) → a key-major, group-ascending

@@ -92,3 +92,33 @@ def test_device_merge_overflow_raises():
     with pytest.raises(KeyMergeOverflow):
         device_key_merge(mesh, cl, cr, scores, ghosts_per_group=1, nl=nl,
                          bits=bits, k=k, bucket_cap=128)
+
+
+def test_device_merge_amino_bitpacked_codes():
+    """σ=20 regression (r5): cl codes are BIT-packed (5 bits/symbol), so
+    codes above σ^hl exist; binning by σ^hl dropped them from every bucket.
+    The binning space must be 2^(bits·hl)."""
+    n_dev = jax.device_count()
+    mesh = make_mesh(n_branch=n_dev, n_key=1)
+    rng = np.random.default_rng(23)
+    k, bits, sigma = 4, 5, 20
+    hl = k // 2
+    G, W, C = n_dev * 2, 5, 64
+    # genuine AA packed codes: letters < 20 per symbol, 5-bit strides —
+    # includes codes >= sigma**hl (e.g. 19<<5 | 0 = 608 > 400)
+    def pack(rng, shape):
+        a = rng.integers(0, sigma, shape).astype(np.uint32)
+        b = rng.integers(0, sigma, shape).astype(np.uint32)
+        return (a << np.uint32(bits)) | b
+    cl = pack(rng, (G, W, C))
+    cr = pack(rng, (G, W, C))
+    scores = rng.uniform(-9, 0, (G, W, C)).astype(np.float32)
+    scores[rng.random((G, W, C)) < 0.3] = -np.inf
+    assert (cl >= sigma ** hl).any()          # the regression trigger
+    keys, border, scs = device_key_merge(
+        mesh, cl, cr, scores, ghosts_per_group=2,
+        nl=1 << (bits * hl), bits=bits, k=k)
+    rk, rb, rs = _host_reference(cl, cr, scores, 2, bits, k)
+    np.testing.assert_array_equal(keys, rk)
+    np.testing.assert_array_equal(border, rb)
+    np.testing.assert_array_equal(scs, rs)

@@ -158,7 +158,14 @@ def oracle_full(P, k, sigma, eps, n_total, threshold, branch_ids):
     return rows, stats
 
 
-def test_full_pipeline_matches_cpp_oracle(tmp_path):
+@pytest.mark.parametrize("states,k,omega", [
+    ("nucl", 8, 1.5),     # DNA: 2-bit packing
+    ("amino", 4, 4.0),    # AA: 5-bit packing + RAPPAS column permutation
+                          # (omega 4: the fixture's Dirichlet(0.5) columns
+                          # keep ~0 survivors at the reference golden's
+                          # omega=10)
+])
+def test_full_pipeline_matches_cpp_oracle(tmp_path, states, k, omega):
     import pathlib
     import sys as _sys
     _sys.path.insert(0, os.path.join(REPO, "tests"))
@@ -170,9 +177,11 @@ def test_full_pipeline_matches_cpp_oracle(tmp_path):
     from ipk_tpu.builder import build, log_threshold_f32
     from ipk_tpu.core.filter import score_threshold
 
-    k, omega, sigma = 8, 1.5, 4
+    traits = DNA if states == "nucl" else AA
+    sigma = traits.alphabet_size
     tree_file, fasta_file, ar_dir = make_project(
-        pathlib.Path(tmp_path), num_leaves=6, width=30, seed=31)
+        pathlib.Path(tmp_path), num_leaves=6, width=30, seed=31,
+        traits=traits)
     original_tree, extended_tree, ghost_mapping = tr.preprocess_tree(
         tree_file, False)
     ar_tree = tr.load_newick(
@@ -181,7 +190,7 @@ def test_full_pipeline_matches_cpp_oracle(tmp_path):
         tr.reroot_tree(ar_tree)
     ar_mapping = map_nodes(extended_tree, ar_tree)
     label_rows, P = read_ancestral_probs(
-        os.path.join(ar_dir, "align.raxml.ancestralProbs"), DNA)
+        os.path.join(ar_dir, "align.raxml.ancestralProbs"), traits)
     groups, group_ids = ghost_groups(extended_tree, original_tree,
                                      ghost_mapping, "both")
     P_all = np.ascontiguousarray(
@@ -197,7 +206,7 @@ def test_full_pipeline_matches_cpp_oracle(tmp_path):
     for sparse in (False, True):
         result = build(
             original_tree, extended_tree, ghost_mapping, ar_mapping,
-            label_rows, P, traits=DNA, kmer_size=k, omega=omega,
+            label_rows, P, traits=traits, kmer_size=k, omega=omega,
             sparse=sparse, verbose=0)
         db = result.db
         assert result.num_explored == stats["tuples"]
