@@ -426,3 +426,42 @@ def test_device_merge_budget_boundary(dna_project, monkeypatch):
     host = build_with(tmp, tree_file, fasta_file, ar_dir, "budget_host")
     assert not used, "device merge ran despite an exceeded budget"
     assert_db_equal(dev, host)
+
+
+def test_device_mi_build_amino(tmp_path):
+    """--device-mi on an AMINO dense build (k small enough for the dense
+    path): the σ=20 mixed-radix key space must survive the on-device MI
+    reduction and key batching exactly like DNA. Added after the r5
+    bit-packed key-merge bug showed power-of-two DNA masking σ=20 issues."""
+    tree_file, fasta_file, ar_dir = make_project(
+        tmp_path, num_leaves=4, width=12, seed=77, traits=AA)
+
+    def build_aa(name, **overrides):
+        out = str(tmp_path / f"{name}.ipk")
+        params = BuildParams(
+            refalign=fasta_file, reftree=tree_file, states="amino",
+            working_dir=str(tmp_path / f"wd_{name}"), ar_dir=ar_dir,
+            kmer_size=3, omega=4.0, output_filename=out, verbosity=0)
+        for key, val in overrides.items():
+            setattr(params, key, val)
+        build_database(params)
+        return out
+
+    host = serialize.load(build_aa("aa_mi_host"))
+    dev = serialize.load(build_aa("aa_mi_dev", device_mi=True))
+    assert host.size() > 0
+    assert set(host.keys.tolist()) == set(dev.keys.tolist())
+
+    def content(db):
+        out = {}
+        for i, key in enumerate(db.keys.tolist()):
+            lo, hi = db.offsets[i], db.offsets[i + 1]
+            out[key] = (db.branches[lo:hi].tolist(),
+                        db.scores[lo:hi].tolist(), db.filter_values[i])
+        return out
+    ch, cd = content(host), content(dev)
+    for key in ch:
+        assert ch[key][0] == cd[key][0], key
+        assert ch[key][1] == cd[key][1], key
+        np.testing.assert_allclose(cd[key][2], ch[key][2], rtol=2e-5,
+                                   atol=1e-7)
