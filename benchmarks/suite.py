@@ -238,8 +238,11 @@ def code_fingerprint():
     h = hashlib.sha256()
     # the measured framework only — NOT benchmarks/ (the harness): editing
     # the record/merge logic must not reset every row's run group, and
-    # workload edits change the row's tuple counts visibly anyway
+    # workload edits change the row's tuple counts visibly anyway. The
+    # CLI/tools layer (dump/diff formatting, click wiring) is on no
+    # benchmarked path either.
     roots = ["ipk_tpu", "native", "bench.py"]
+    exclude = {"ipk_tpu/tools.py", "ipk_tpu/cli.py", "ipk_tpu/__main__.py"}
     for root in roots:
         path = os.path.join(REPO, root)
         files = []
@@ -250,7 +253,10 @@ def code_fingerprint():
                 files += [os.path.join(dirp, n) for n in names
                           if n.endswith((".py", ".cpp", ".h", "Makefile"))]
         for f in sorted(files):
-            h.update(os.path.relpath(f, REPO).encode())
+            rel = os.path.relpath(f, REPO)
+            if rel in exclude:
+                continue
+            h.update(rel.encode())
             with open(f, "rb") as fh:
                 h.update(fh.read())
     return h.hexdigest()[:16]
